@@ -1,0 +1,206 @@
+"""Typed configuration for the TPU-native VIO/SLAM engine.
+
+Replaces the reference's three-tier config (compile-time #defines in
+VINS_ios/global_param.hpp:23-53, per-device runtime table in
+VINS_ios/global_param.cpp:24-132, and runtime toggles) with one frozen
+dataclass tree usable as a jit static argument.
+
+All shape-determining fields (window size, feature budget, IMU buffer
+length, solver iteration counts) are Python ints so every jitted program
+has static shapes — the core architectural transformation relative to the
+reference's dynamic containers (SURVEY.md §7.1).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics + camera-IMU extrinsics for one device profile.
+
+    Mirrors the per-device table in reference global_param.cpp:24-132
+    (fx/fy/cx/cy, TIC, RIC=ypr(0,0,180°)) and EuRoC-style calibrations.
+    """
+
+    width: int = 640
+    height: int = 480
+    fx: float = 526.600
+    fy: float = 526.678
+    cx: float = 243.481
+    cy: float = 315.280
+    # Radial-tangential distortion (EuRoC cam0 style); reference assumes
+    # pre-undistorted mobile frames, so defaults are zero.
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    # Camera-IMU extrinsics: p_imu = ric @ p_cam + tic.
+    tic: Tuple[float, float, float] = (0.0, 0.092, 0.01)
+    # Extrinsic rotation as ypr radians (reference: ypr(0,0,180°) deg,
+    # global_param.hpp:23-25).
+    ric_ypr: Tuple[float, float, float] = (0.0, 0.0, math.pi)
+
+    @property
+    def focal(self) -> float:
+        return 0.5 * (self.fx + self.fy)
+
+
+@dataclasses.dataclass(frozen=True)
+class ImuConfig:
+    """IMU noise model (reference global_param.hpp:42-46)."""
+
+    acc_n: float = 0.5
+    acc_w: float = 0.002
+    gyr_n: float = 0.2
+    gyr_w: float = 4e-5
+    gravity: float = 9.805
+    rate_hz: float = 100.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Sliding-window NLLS solver budget.
+
+    The reference uses wall-clock budgets (≤10 iter / ≤60 ms, VINS.cpp:639-653);
+    under XLA we compile a fixed iteration count with early-exit masking.
+    """
+
+    max_iters: int = 8
+    # Levenberg-Marquardt damping schedule.
+    lambda_init: float = 1e-4
+    lambda_up: float = 10.0
+    lambda_down: float = 0.3
+    lambda_min: float = 1e-9
+    lambda_max: float = 1e2
+    # Cauchy robust-loss scale on whitened projection residuals
+    # (reference uses CauchyLoss(1.0), VINS.cpp:485).
+    cauchy_c: float = 1.0
+    # Convergence: stop when relative cost decrease falls below this.
+    rel_tol: float = 1e-6
+    # Eigenvalue clamp for the marginalization sqrt factorization
+    # (reference: marginalization_factor.hpp:75, eps=1e-8).
+    eig_eps: float = 1e-8
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """KLT front-end budget (reference feature_tracker.hpp:24-29)."""
+
+    max_features: int = 128          # padded slot count (reference MAX_CNT=70)
+    target_features: int = 70        # top-up target per keyframe batch
+    min_distance: int = 30           # NMS spacing in px (MIN_DIST)
+    pyramid_levels: int = 3
+    klt_window: int = 21             # LK window (21x21)
+    klt_iters: int = 10              # LK iterations per level
+    klt_eps: float = 0.01            # LK convergence threshold (px)
+    f_ransac_thresh: float = 1.0     # F-matrix RANSAC threshold in px (F_THRESHOLD)
+    f_ransac_hyps: int = 256         # fixed hypothesis count (batched RANSAC)
+    clahe_clip: float = 3.0          # CLAHE clip limit (ViewController.mm:439)
+    clahe_grid: int = 8
+    min_track_for_stable: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop closure / pose graph (reference global_param.hpp:26-27 etc.)."""
+
+    enabled: bool = True
+    max_keyframes: int = 512         # pose-graph cap (reference: 500)
+    loop_freq: int = 3               # detect every 3rd keyframe
+    min_loop_matches: int = 22       # MIN_LOOP_NUM
+    brief_bits: int = 256
+    max_kf_features: int = 512       # FAST corners per keyframe for BRIEF
+    dislocal: int = 20               # exclude this many recent keyframes from query
+    similarity_alpha: float = 0.3    # normalized-similarity gate (demoDetector.h:126)
+    temporal_k: int = 1              # temporal consistency matches (demoDetector.h:128)
+    yaw_reject_deg: float = 30.0     # loop sanity: |yaw|>30° rejected
+    trans_reject_m: float = 10.0     # loop sanity: |t|>10 m rejected
+    pose_graph_iters: int = 12
+    sequential_edges: int = 5        # chain edges per node (keyfame_database.cpp:239)
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowConfig:
+    """Sliding-window shape constants (reference global_param.hpp:28-37)."""
+
+    window_size: int = 10            # => 11 frames in window
+    pnp_size: int = 6                # motion-only window => 7 frames
+    max_imu_per_edge: int = 32       # padded IMU samples between frames
+    max_depth: float = 1e3
+    min_depth: float = 0.1
+    init_depth: float = 5.0          # INIT_DEPTH (feature_manager.hpp)
+    min_parallax_px: float = 10.0    # keyframe parallax threshold (MIN_PARALLAX)
+
+    @property
+    def num_frames(self) -> int:
+        return self.window_size + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for scale-out (SURVEY.md §7.1 'Scale-out').
+
+    Axes: `batch` = data-parallel frame/window replicas, `block` =
+    keyframe/landmark block partition of distributed BA.
+    """
+
+    batch_axis: str = "batch"
+    block_axis: str = "block"
+    batch_size: int = 1
+    block_size: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class VinsConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    imu: ImuConfig = dataclasses.field(default_factory=ImuConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
+    window: WindowConfig = dataclasses.field(default_factory=WindowConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    # Backend solve cadence: process every `freq`-th camera frame
+    # (reference FREQ=3: 30 Hz camera -> 10 Hz backend).
+    freq: int = 3
+    # Failure-detection thresholds (reference VINS.cpp:214-265).
+    fail_min_features: int = 4
+    fail_max_gyr_bias: float = 1.0
+    fail_max_trans_jump: float = 1.0
+    fail_max_z_jump: float = 0.5
+    fail_max_rot_jump_deg: float = 40.0
+    # Initialization acceptance: final cost threshold (VINS.cpp:416).
+    init_max_cost: float = 200.0
+
+    def replace(self, **kw) -> "VinsConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Device profile table, mirroring reference global_param.cpp:24-132.
+DEVICE_PROFILES = {
+    "iphone7p": CameraConfig(fx=526.600, fy=526.678, cx=243.481, cy=315.280,
+                             tic=(0.0, 0.092, 0.01)),
+    "iphone7": CameraConfig(fx=549.476, fy=549.458, cx=240.315, cy=320.617,
+                            tic=(0.0, 0.065, 0.0)),
+    "iphone6s": CameraConfig(fx=549.477, fy=549.477, cx=240.0, cy=320.0,
+                             tic=(0.0, 0.065, 0.0)),
+    # EuRoC MAV cam0 (for dataset replay; values from the public EuRoC calib).
+    "euroc": CameraConfig(width=752, height=480,
+                          fx=458.654, fy=457.296, cx=367.215, cy=248.375,
+                          k1=-0.28340811, k2=0.07395907,
+                          p1=0.00019359, p2=1.76187114e-05,
+                          tic=(-0.0216401454975, -0.064676986768, 0.00981073058949),
+                          ric_ypr=(0.0, 0.0, 0.0)),
+}
+
+
+def default_config() -> VinsConfig:
+    return VinsConfig()
+
+
+def euroc_config() -> VinsConfig:
+    return VinsConfig(camera=DEVICE_PROFILES["euroc"], imu=ImuConfig(
+        acc_n=0.08, acc_w=0.00004, gyr_n=0.004, gyr_w=2e-6, gravity=9.81007,
+        rate_hz=200.0))
