@@ -1,0 +1,245 @@
+"""IMU preintegration as a `lax.scan` over fixed-size masked sample buffers.
+
+TPU-native re-design of the reference's `IntegrationBase`
+(VINS_ios/integration_base.h:17-223): midpoint integration of the
+relative-motion deltas (Δp, Δq, Δv) between consecutive window frames,
+with propagation of the 15×15 bias Jacobian and 15×15 covariance under an
+18-dim noise model (VINS_ios/integration_base.h:63-139), and the
+bias-corrected 15-dim residual (VINS_ios/integration_base.h:171-198).
+
+Key transformation vs the reference: raw samples live in a *fixed-length*
+padded buffer per window edge (`ImuChunk`), so propagation is a single
+jitted scan and "repropagate on bias change"
+(VINS_ios/integration_base.h:47-61) is just re-running the same scan with
+a new linearization point — no mutation, no dynamic containers. Padding
+rows have dt=0, which makes them exact no-ops in midpoint integration, so
+no masks appear in the math.
+
+Error-state ordering (matches the reference's O_P/O_R/O_V/O_BA/O_BG):
+    [δp 0:3 | δθ 3:6 | δv 6:9 | δba 9:12 | δbg 12:15]
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ImuConfig
+from ..utils import lie
+
+# Error-state block offsets.
+O_P, O_R, O_V, O_BA, O_BG = 0, 3, 6, 9, 12
+
+
+class ImuChunk(NamedTuple):
+    """Raw IMU samples between two frames, fixed length, dt=0 padded.
+
+    Row 0 is the sample at the previous frame time (the reference's
+    acc_0/gyr_0 seed) and must have dt=0; rows 1..k carry the integration
+    steps; rows k+1.. are padding with dt=0.
+    """
+
+    dt: jax.Array    # [N]
+    acc: jax.Array   # [N, 3]
+    gyr: jax.Array   # [N, 3]
+
+    @staticmethod
+    def empty(max_samples: int, dtype=jnp.float32) -> "ImuChunk":
+        return ImuChunk(
+            dt=jnp.zeros((max_samples,), dtype),
+            acc=jnp.zeros((max_samples, 3), dtype),
+            gyr=jnp.zeros((max_samples, 3), dtype),
+        )
+
+
+class Preintegration(NamedTuple):
+    """Propagated relative-motion deltas + Jacobian/covariance."""
+
+    dp: jax.Array             # [3]
+    dq: jax.Array             # [4] wxyz
+    dv: jax.Array             # [3]
+    jacobian: jax.Array       # [15, 15] d(delta)/d(bias at linearization)
+    covariance: jax.Array     # [15, 15]
+    sum_dt: jax.Array         # []
+    linearized_ba: jax.Array  # [3]
+    linearized_bg: jax.Array  # [3]
+
+
+def noise_covariance(imu: ImuConfig, dtype=jnp.float32) -> jax.Array:
+    """18×18 diagonal noise: [na0, ng0, na1, ng1, nba, nbg] ⊗ I₃.
+
+    Reference: VINS_ios/integration_base.h:28-37.
+    """
+    diag = jnp.concatenate([
+        jnp.full((3,), imu.acc_n ** 2, dtype),
+        jnp.full((3,), imu.gyr_n ** 2, dtype),
+        jnp.full((3,), imu.acc_n ** 2, dtype),
+        jnp.full((3,), imu.gyr_n ** 2, dtype),
+        jnp.full((3,), imu.acc_w ** 2, dtype),
+        jnp.full((3,), imu.gyr_w ** 2, dtype),
+    ])
+    return jnp.diag(diag)
+
+
+def _midpoint_step(carry, sample, noise_cov):
+    """One midpoint integration step (reference integration_base.h:63-139)."""
+    dp, dq, dv, J, P, sum_dt, ba, bg, acc0, gyr0 = carry
+    dt, acc1, gyr1 = sample
+    dt2 = dt * dt
+
+    un_acc_0 = lie.quat_rotate(dq, acc0 - ba)
+    un_gyr = 0.5 * (gyr0 + gyr1) - bg
+    dq_new = lie.quat_normalize(lie.quat_mul(dq, lie.delta_q(un_gyr * dt)))
+    un_acc_1 = lie.quat_rotate(dq_new, acc1 - ba)
+    un_acc = 0.5 * (un_acc_0 + un_acc_1)
+    dp_new = dp + dv * dt + 0.5 * un_acc * dt2
+    dv_new = dv + un_acc * dt
+
+    # Error-state transition F (15×15) and noise map V (15×18).
+    R_w_x = lie.skew(un_gyr)
+    R_a_0_x = lie.skew(acc0 - ba)
+    R_a_1_x = lie.skew(acc1 - ba)
+    R0 = lie.quat_to_rotmat(dq)
+    R1 = lie.quat_to_rotmat(dq_new)
+    I3 = jnp.eye(3, dtype=dp.dtype)
+
+    Rw = I3 - R_w_x * dt  # first-order exp(-[w]x dt)
+    F = jnp.zeros((15, 15), dtype=dp.dtype)
+    f_01 = -0.25 * R0 @ R_a_0_x * dt2 + (-0.25) * R1 @ R_a_1_x @ Rw * dt2
+    F = F.at[O_P:O_P + 3, O_P:O_P + 3].set(I3)
+    F = F.at[O_P:O_P + 3, O_R:O_R + 3].set(f_01)
+    F = F.at[O_P:O_P + 3, O_V:O_V + 3].set(I3 * dt)
+    F = F.at[O_P:O_P + 3, O_BA:O_BA + 3].set(-0.25 * (R0 + R1) * dt2)
+    F = F.at[O_P:O_P + 3, O_BG:O_BG + 3].set(0.25 * R1 @ R_a_1_x * dt2 * dt)
+    F = F.at[O_R:O_R + 3, O_R:O_R + 3].set(Rw)
+    F = F.at[O_R:O_R + 3, O_BG:O_BG + 3].set(-I3 * dt)
+    f_21 = -0.5 * R0 @ R_a_0_x * dt + (-0.5) * R1 @ R_a_1_x @ Rw * dt
+    F = F.at[O_V:O_V + 3, O_R:O_R + 3].set(f_21)
+    F = F.at[O_V:O_V + 3, O_V:O_V + 3].set(I3)
+    F = F.at[O_V:O_V + 3, O_BA:O_BA + 3].set(-0.5 * (R0 + R1) * dt)
+    F = F.at[O_V:O_V + 3, O_BG:O_BG + 3].set(0.5 * R1 @ R_a_1_x * dt * dt)
+    F = F.at[O_BA:O_BA + 3, O_BA:O_BA + 3].set(I3)
+    F = F.at[O_BG:O_BG + 3, O_BG:O_BG + 3].set(I3)
+
+    V = jnp.zeros((15, 18), dtype=dp.dtype)
+    v_01 = -0.125 * R1 @ R_a_1_x * dt2 * dt  # 0.25 * R1 a1x dt2 * 0.5 dt
+    V = V.at[O_P:O_P + 3, 0:3].set(0.25 * R0 * dt2)
+    V = V.at[O_P:O_P + 3, 3:6].set(v_01)
+    V = V.at[O_P:O_P + 3, 6:9].set(0.25 * R1 * dt2)
+    V = V.at[O_P:O_P + 3, 9:12].set(v_01)
+    V = V.at[O_R:O_R + 3, 3:6].set(0.5 * I3 * dt)
+    V = V.at[O_R:O_R + 3, 9:12].set(0.5 * I3 * dt)
+    V = V.at[O_V:O_V + 3, 0:3].set(0.5 * R0 * dt)
+    v_21 = -0.25 * R1 @ R_a_1_x * dt * dt
+    V = V.at[O_V:O_V + 3, 3:6].set(v_21)
+    V = V.at[O_V:O_V + 3, 6:9].set(0.5 * R1 * dt)
+    V = V.at[O_V:O_V + 3, 9:12].set(v_21)
+    V = V.at[O_BA:O_BA + 3, 12:15].set(I3 * dt)
+    V = V.at[O_BG:O_BG + 3, 15:18].set(I3 * dt)
+
+    J_new = F @ J
+    P_new = F @ P @ F.T + V @ noise_cov @ V.T
+    sum_dt_new = sum_dt + dt
+
+    return (dp_new, dq_new, dv_new, J_new, P_new, sum_dt_new, ba, bg,
+            acc1, gyr1), None
+
+
+def propagate(chunk: ImuChunk, linearized_ba: jax.Array,
+              linearized_bg: jax.Array, imu: ImuConfig) -> Preintegration:
+    """Integrate a chunk into a `Preintegration` (= reference `propagate`,
+    and `repropagate` when called with updated biases)."""
+    dtype = chunk.acc.dtype
+    noise_cov = noise_covariance(imu, dtype)
+    init = (
+        jnp.zeros(3, dtype), lie.quat_identity(dtype), jnp.zeros(3, dtype),
+        jnp.eye(15, dtype=dtype), jnp.zeros((15, 15), dtype),
+        jnp.zeros((), dtype), linearized_ba, linearized_bg,
+        chunk.acc[0], chunk.gyr[0],
+    )
+    # Scan over samples 1..N-1 (row 0 only seeds acc0/gyr0).
+    xs = (chunk.dt[1:], chunk.acc[1:], chunk.gyr[1:])
+    (dp, dq, dv, J, P, sum_dt, ba, bg, _, _), _ = jax.lax.scan(
+        lambda c, s: _midpoint_step(c, s, noise_cov), init, xs
+    )
+    return Preintegration(dp, dq, dv, J, P, sum_dt, ba, bg)
+
+
+def evaluate(pre: Preintegration,
+             p_i: jax.Array, q_i: jax.Array, v_i: jax.Array,
+             ba_i: jax.Array, bg_i: jax.Array,
+             p_j: jax.Array, q_j: jax.Array, v_j: jax.Array,
+             ba_j: jax.Array, bg_j: jax.Array,
+             gravity: jax.Array) -> jax.Array:
+    """15-dim preintegration residual (reference integration_base.h:171-198).
+
+    Bias deviations from the linearization point are folded in to first
+    order via the propagated Jacobian blocks.
+    """
+    J = pre.jacobian
+    dp_dba = J[O_P:O_P + 3, O_BA:O_BA + 3]
+    dp_dbg = J[O_P:O_P + 3, O_BG:O_BG + 3]
+    dq_dbg = J[O_R:O_R + 3, O_BG:O_BG + 3]
+    dv_dba = J[O_V:O_V + 3, O_BA:O_BA + 3]
+    dv_dbg = J[O_V:O_V + 3, O_BG:O_BG + 3]
+
+    dba = ba_i - pre.linearized_ba
+    dbg = bg_i - pre.linearized_bg
+
+    corrected_dq = lie.quat_mul(pre.dq, lie.delta_q(dq_dbg @ dbg))
+    corrected_dv = pre.dv + dv_dba @ dba + dv_dbg @ dbg
+    corrected_dp = pre.dp + dp_dba @ dba + dp_dbg @ dbg
+
+    dt = pre.sum_dt
+    q_i_inv = lie.quat_conj(q_i)
+    r_p = lie.quat_rotate(
+        q_i_inv, 0.5 * gravity * dt * dt + p_j - p_i - v_i * dt
+    ) - corrected_dp
+    r_q = 2.0 * lie.quat_mul(
+        lie.quat_conj(corrected_dq), lie.quat_mul(q_i_inv, q_j)
+    )[1:]
+    r_v = lie.quat_rotate(q_i_inv, gravity * dt + v_j - v_i) - corrected_dv
+    r_ba = ba_j - ba_i
+    r_bg = bg_j - bg_i
+    return jnp.concatenate([r_p, r_q, r_v, r_ba, r_bg])
+
+
+def sqrt_information(pre: Preintegration, eps: float = 1e-8) -> jax.Array:
+    """Upper-triangular whitening: sqrt_info = chol(P⁻¹)ᵀ.
+
+    Reference: IMUFactor whitens with LLT of covariance.inverse()
+    (VINS_ios/imu_factor.h:72). We regularize the covariance before
+    inversion for fp32 robustness.
+    """
+    P = pre.covariance + eps * jnp.eye(15, dtype=pre.covariance.dtype)
+    info = jnp.linalg.inv(P)
+    info = 0.5 * (info + info.T)
+    # chol returns lower L with L Lᵀ = info; residual whitening uses Lᵀ r.
+    L = jnp.linalg.cholesky(info)
+    return L.T
+
+
+def propagate_state(p: jax.Array, q: jax.Array, v: jax.Array,
+                    ba: jax.Array, bg: jax.Array,
+                    chunk: ImuChunk, gravity: jax.Array):
+    """World-frame dead-reckoning over a chunk (reference VINS.cpp:359-370).
+
+    Used by the high-rate propagation path and tests. Returns (p, q, v).
+    """
+    def step(carry, sample):
+        p, q, v, acc0, gyr0 = carry
+        dt, acc1, gyr1 = sample
+        un_acc_0 = lie.quat_rotate(q, acc0 - ba) - gravity
+        un_gyr = 0.5 * (gyr0 + gyr1) - bg
+        q_new = lie.quat_normalize(lie.quat_mul(q, lie.delta_q(un_gyr * dt)))
+        un_acc_1 = lie.quat_rotate(q_new, acc1 - ba) - gravity
+        un_acc = 0.5 * (un_acc_0 + un_acc_1)
+        p_new = p + v * dt + 0.5 * un_acc * dt * dt
+        v_new = v + un_acc * dt
+        return (p_new, q_new, v_new, acc1, gyr1), None
+
+    xs = (chunk.dt[1:], chunk.acc[1:], chunk.gyr[1:])
+    (p, q, v, _, _), _ = jax.lax.scan(
+        step, (p, q, v, chunk.acc[0], chunk.gyr[0]), xs)
+    return p, q, v
