@@ -1,0 +1,281 @@
+"""Sliding-window nonlinear least-squares solver: Levenberg-Marquardt with
+explicit Schur complement over inverse-depth landmarks.
+
+This is the TPU-native replacement for the reference's Ceres solve
+(DENSE_SCHUR + DOGLEG + use_explicit_schur_complement, VINS_ios/
+VINS.cpp:639-662): instead of a virtual-dispatch cost-function graph, the
+whole problem is assembled as ONE dense whitened Jacobian
+  J : [R, D_c + M]   (R = prior + IMU + projection rows)
+built by vmapped per-factor linearizations scattered into static row/col
+slots, and the normal equations H = JᵀJ come from a single MXU matmul.
+The landmark block of H is diagonal by construction (each inverse depth
+touches only its own factor rows), so the Schur complement is an
+elementwise divide + one more matmul. Iterations are a fixed-count
+`lax.scan` with accept/reject masking — the XLA analog of the reference's
+wall-clock-bounded trust region (VINS.cpp:646-653).
+
+Whitening/robustness parity: IMU rows whitened by the preintegration
+sqrt-information (imu_factor.h:72), projection rows by f/1.5
+(VINS.cpp:31) with Cauchy IRLS reweighting (VINS.cpp:485).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VinsConfig
+from ..utils import lie
+from . import preintegration as pre_mod
+from .factors import (Extrinsics, cauchy_rho, cauchy_weight,
+                      imu_factor_local, projection_factor_local,
+                      projection_residual)
+from .state import FeatureTable, PriorFactor, WindowState, retract_window, \
+    state_boxminus
+
+
+class SolveStats(NamedTuple):
+    final_cost: jax.Array      # [] robust total cost after solve
+    initial_cost: jax.Array    # [] cost before solve
+    visual_cost: jax.Array     # [] sum of squared whitened projection residuals
+    visual_factor_num: jax.Array  # [] number of active projection factors
+    accepted_iters: jax.Array  # [] LM iterations that reduced cost
+    final_lambda: jax.Array    # []
+
+
+class WindowProblem(NamedTuple):
+    """Static-shape factor-graph snapshot for one backend solve."""
+
+    feats: FeatureTable
+    preints: pre_mod.Preintegration   # stacked over W edges
+    prior: PriorFactor
+    ext: Extrinsics
+    gravity: jax.Array                # [3]
+    sqrt_info_proj: jax.Array         # [] (focal/1.5)
+    # Optional per-frame freeze mask [F]: 1.0 = frame free, 0.0 = frozen
+    # (used by init fine-tuning and tests; all-ones normally).
+    frame_free: jax.Array             # [F]
+
+
+def _proj_grid_indices(F: int, M: int):
+    """Flattened (frame j, slot m) grid index arrays, static."""
+    fj = jnp.repeat(jnp.arange(F, dtype=jnp.int32), M)     # [F*M]
+    mm = jnp.tile(jnp.arange(M, dtype=jnp.int32), F)       # [F*M]
+    return fj, mm
+
+
+def _proj_factor_mask(prob: WindowProblem, fj, mm) -> jax.Array:
+    feats = prob.feats
+    a = feats.anchor[mm]
+    return (
+        feats.valid[mm]
+        & feats.mask[fj, mm]
+        & feats.mask[a, mm]
+        & (fj != a)
+    ).astype(prob.gravity.dtype)
+
+
+def _residuals_only(state: WindowState, prob: WindowProblem,
+                    cfg: VinsConfig):
+    """Cheap robust-cost evaluation (no Jacobians) for LM accept tests."""
+    F, M = prob.feats.mask.shape
+    dtype = state.p.dtype
+
+    # Prior.
+    dx = state_boxminus(state, prob.prior)
+    r_prior = (prob.prior.r + prob.prior.J @ dx) * prob.prior.weight
+    cost = 0.5 * jnp.sum(r_prior * r_prior)
+
+    # IMU edges.
+    def imu_r(e):
+        S = pre_mod.sqrt_information(jax.tree.map(lambda x: x[e], prob.preints))
+        r = pre_mod.evaluate(
+            jax.tree.map(lambda x: x[e], prob.preints),
+            state.p[e], state.q[e], state.v[e], state.ba[e], state.bg[e],
+            state.p[e + 1], state.q[e + 1], state.v[e + 1],
+            state.ba[e + 1], state.bg[e + 1], prob.gravity)
+        return S @ r
+
+    r_imu = jax.vmap(imu_r)(jnp.arange(F - 1))
+    cost += 0.5 * jnp.sum(r_imu * r_imu)
+
+    # Projection grid.
+    fj, mm = _proj_grid_indices(F, M)
+    w_valid = _proj_factor_mask(prob, fj, mm)
+    a = prob.feats.anchor[mm]
+
+    def proj_r(k):
+        r = projection_residual(
+            prob.feats.obs[a[k], mm[k]], prob.feats.obs[fj[k], mm[k]],
+            state.p[a[k]], state.q[a[k]], state.p[fj[k]], state.q[fj[k]],
+            state.inv_depth[mm[k]], prob.ext)
+        return prob.sqrt_info_proj * r
+
+    r_proj = jax.vmap(proj_r)(jnp.arange(F * M)) * w_valid[:, None]
+    s = jnp.sum(r_proj * r_proj, axis=-1)
+    cost += 0.5 * jnp.sum(cauchy_rho(s, cfg.solver.cauchy_c) * w_valid)
+    return cost, (r_prior, r_imu, r_proj, w_valid)
+
+
+def _linearize(state: WindowState, prob: WindowProblem, cfg: VinsConfig):
+    """Build the dense whitened Jacobian J [R, D_c+M] and residual r [R]."""
+    F, M = prob.feats.mask.shape
+    dtype = state.p.dtype
+    D_c = 15 * F
+    W = F - 1
+    K = F * M
+    R_rows = D_c + 15 * W + 2 * K
+
+    J = jnp.zeros((R_rows, D_c + M), dtype)
+    r = jnp.zeros((R_rows,), dtype)
+
+    # ---- Prior rows [0, D_c) -------------------------------------------
+    dx = state_boxminus(state, prob.prior)
+    r_prior = (prob.prior.r + prob.prior.J @ dx) * prob.prior.weight
+    J = J.at[0:D_c, 0:D_c].set(prob.prior.J * prob.prior.weight)
+    r = r.at[0:D_c].set(r_prior)
+
+    # ---- IMU rows [D_c, D_c + 15W) -------------------------------------
+    def imu_one(e):
+        return imu_factor_local(
+            jax.tree.map(lambda x: x[e], prob.preints), state, e, prob.gravity)
+
+    r_imu, J_imu = jax.vmap(imu_one)(jnp.arange(W))      # [W,15], [W,15,30]
+    # Freeze masking: columns of frozen frames are zeroed.
+    free_i = prob.frame_free[jnp.arange(W)]
+    free_j = prob.frame_free[jnp.arange(W) + 1]
+    col_scale = jnp.concatenate(
+        [jnp.repeat(free_i[:, None], 15, 1), jnp.repeat(free_j[:, None], 15, 1)],
+        axis=1)                                          # [W, 30]
+    J_imu = J_imu * col_scale[:, None, :]
+    rows_imu = D_c + 15 * jnp.arange(W)[:, None] + jnp.arange(15)[None, :]
+    cols_imu = 15 * jnp.arange(W)[:, None] + jnp.arange(30)[None, :]
+    J = J.at[rows_imu[:, :, None], cols_imu[:, None, :]].add(J_imu)
+    r = r.at[rows_imu].set(r_imu)
+
+    # ---- Projection rows [D_c + 15W, end) ------------------------------
+    fj, mm = _proj_grid_indices(F, M)
+    w_valid = _proj_factor_mask(prob, fj, mm)            # [K]
+    a = prob.feats.anchor[mm]
+
+    def proj_one(k):
+        return projection_factor_local(
+            prob.feats.obs[a[k], mm[k]], prob.feats.obs[fj[k], mm[k]],
+            state.p[a[k]], state.q[a[k]], state.p[fj[k]], state.q[fj[k]],
+            state.inv_depth[mm[k]], prob.ext, prob.sqrt_info_proj)
+
+    r_proj, J_proj = jax.vmap(proj_one)(jnp.arange(K))   # [K,2], [K,2,13]
+
+    # Cauchy IRLS reweighting + validity + freeze masking.
+    w_rob = cauchy_weight(r_proj, cfg.solver.cauchy_c)   # [K,1]
+    scale = w_rob * w_valid[:, None]
+    r_proj_w = r_proj * scale
+    J_proj_w = J_proj * scale[:, :, None]
+    col_free = jnp.concatenate([
+        jnp.repeat(prob.frame_free[a][:, None], 6, 1),
+        jnp.repeat(prob.frame_free[fj][:, None], 6, 1),
+        jnp.ones((K, 1), dtype)], axis=1)                # [K,13]
+    J_proj_w = J_proj_w * col_free[:, None, :]
+
+    base = D_c + 15 * W
+    rows_p = base + 2 * jnp.arange(K)[:, None] + jnp.arange(2)[None, :]
+    cols_p = jnp.concatenate([
+        15 * a[:, None] + jnp.arange(6)[None, :],
+        15 * fj[:, None] + jnp.arange(6)[None, :],
+        D_c + mm[:, None]], axis=1)                      # [K,13]
+    J = J.at[rows_p[:, :, None], cols_p[:, None, :]].add(J_proj_w)
+    r = r.at[rows_p].set(r_proj_w)
+
+    # Robust cost at linearization point (for LM bookkeeping).
+    s = jnp.sum(r_proj * r_proj, axis=-1)
+    cost = (0.5 * jnp.sum(r_prior * r_prior)
+            + 0.5 * jnp.sum(r_imu * r_imu)
+            + 0.5 * jnp.sum(cauchy_rho(s, cfg.solver.cauchy_c) * w_valid))
+    vis_cost = jnp.sum(s * w_valid)
+    vis_num = jnp.sum(w_valid)
+    return J, r, cost, vis_cost, vis_num
+
+
+def _schur_solve(J: jax.Array, r: jax.Array, lam: jax.Array,
+                 D_c: int, landmark_active: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Damped normal-equation solve with landmark Schur elimination.
+
+    Mirrors DENSE_SCHUR with explicit Schur complement (VINS.cpp:641-644):
+    H_ll is diagonal, so the reduced camera system is
+    H_s = H_cc − H_cl · H_ll⁻¹ · H_lc.
+    """
+    dtype = J.dtype
+    H = J.T @ J
+    g = J.T @ r
+    H_cc = H[:D_c, :D_c]
+    H_cl = H[:D_c, D_c:]
+    h_ll = jnp.diagonal(H[D_c:, D_c:])
+    g_c, g_l = g[:D_c], g[D_c:]
+
+    # Marquardt scaling-aware damping + absolute floor for gauge freedom
+    # and empty landmark slots.
+    d_c = jnp.diagonal(H_cc)
+    H_cc_d = H_cc + jnp.diag(lam * d_c + 1e-8 + lam)
+    h_ll_d = h_ll + lam * h_ll + 1e-8 + lam
+    inv_hll = jnp.where(landmark_active > 0, 1.0 / h_ll_d, 0.0)
+
+    H_s = H_cc_d - (H_cl * inv_hll[None, :]) @ H_cl.T
+    g_s = g_c - H_cl @ (inv_hll * g_l)
+
+    # Solve via Cholesky; fp32-safe jitter already in damping.
+    L = jnp.linalg.cholesky(H_s)
+    ok = jnp.all(jnp.isfinite(L))
+    dx_c = jax.lax.cond(
+        ok,
+        lambda: jax.scipy.linalg.cho_solve((L, True), g_s),
+        lambda: jnp.linalg.solve(H_s, g_s),
+    )
+    dx_l = inv_hll * (g_l - H_cl.T @ dx_c)
+    return -dx_c, -dx_l
+
+
+def solve_window(state: WindowState, prob: WindowProblem,
+                 cfg: VinsConfig) -> Tuple[WindowState, SolveStats]:
+    """Run the fixed-iteration LM loop. Pure function; jit/shard-safe."""
+    F, M = prob.feats.mask.shape
+    D_c = 15 * F
+    dtype = state.p.dtype
+    sc = cfg.solver
+
+    fj, mm = _proj_grid_indices(F, M)
+    w_valid = _proj_factor_mask(prob, fj, mm)
+    # A landmark column is active if it appears in >=1 valid factor.
+    landmark_active = (
+        jax.ops.segment_sum(w_valid, mm, num_segments=M) > 0
+    ).astype(dtype)
+
+    cost0, _ = _residuals_only(state, prob, cfg)
+
+    def lm_iter(carry, _):
+        st, lam, cost, accepted = carry
+        J, r, cost_lin, vis_cost, vis_num = _linearize(st, prob, cfg)
+        dx_c, dx_l = _schur_solve(J, r, lam, D_c, landmark_active)
+        dx_l = dx_l * landmark_active
+        cand = retract_window(st, dx_c * jnp.repeat(prob.frame_free, 15),
+                              dx_l)
+        new_cost, _ = _residuals_only(cand, prob, cfg)
+        good = jnp.isfinite(new_cost) & (new_cost < cost)
+        st = jax.tree.map(
+            lambda a, b: jnp.where(good, b, a), st, cand)
+        cost = jnp.where(good, new_cost, cost)
+        lam = jnp.clip(jnp.where(good, lam * sc.lambda_down, lam * sc.lambda_up),
+                       sc.lambda_min, sc.lambda_max)
+        accepted = accepted + good.astype(jnp.int32)
+        return (st, lam, cost, accepted), (vis_cost, vis_num)
+
+    init = (state, jnp.asarray(sc.lambda_init, dtype), cost0,
+            jnp.zeros((), jnp.int32))
+    (state_f, lam_f, cost_f, acc), (vis_costs, vis_nums) = jax.lax.scan(
+        lm_iter, init, None, length=sc.max_iters)
+
+    stats = SolveStats(
+        final_cost=cost_f, initial_cost=cost0,
+        visual_cost=vis_costs[-1], visual_factor_num=vis_nums[-1],
+        accepted_iters=acc, final_lambda=lam_f)
+    return state_f, stats

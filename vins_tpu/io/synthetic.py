@@ -1,0 +1,175 @@
+"""Synthetic visual-inertial world generator.
+
+The reference validated on-device with a record/playback harness
+(SURVEY.md §4 item 2); our primary offline equivalents are EuRoC replay
+and this analytic generator, which provides *exact* ground truth for
+trajectory, IMU, and landmark observations — the basis for solver
+convergence tests (ATE ≈ 0 on noiseless data) and benchmarks.
+
+Trajectory: a circle of radius `r` at angular rate `w`, with optional
+vertical bobbing; body x-axis tracks the tangent (pure yaw attitude), so
+closed-form position/velocity/acceleration/angular-rate exist everywhere.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import VinsConfig
+from ..core.preintegration import ImuChunk
+from ..core.state import FeatureTable, WindowState
+from ..core.factors import Extrinsics
+from ..utils import lie
+
+
+class SyntheticWindow(NamedTuple):
+    """Ground-truth window snapshot + raw IMU chunks + landmark geometry."""
+
+    state: WindowState           # ground-truth window state (F frames)
+    chunks: ImuChunk             # stacked [W, N] raw IMU between frames
+    feats: FeatureTable          # observations of the landmarks
+    landmarks: jnp.ndarray       # [L, 3] world points
+    ext: Extrinsics
+    gravity: jnp.ndarray         # [3]
+    timestamps: jnp.ndarray      # [F]
+
+
+def _traj(t, r=3.0, w=0.6, bob=0.3, bob_w=1.7):
+    """Closed-form circle trajectory. Returns p, v, a, yaw, yaw_rate."""
+    t = np.asarray(t, np.float64)
+    p = np.stack([r * np.cos(w * t), r * np.sin(w * t),
+                  bob * np.sin(bob_w * t)], -1)
+    v = np.stack([-r * w * np.sin(w * t), r * w * np.cos(w * t),
+                  bob * bob_w * np.cos(bob_w * t)], -1)
+    a = np.stack([-r * w * w * np.cos(w * t), -r * w * w * np.sin(w * t),
+                  -bob * bob_w * bob_w * np.sin(bob_w * t)], -1)
+    yaw = w * t + np.pi / 2.0          # tangent direction of the circle
+    yaw_rate = np.full_like(t, w)
+    return p, v, a, yaw, yaw_rate
+
+
+def make_synthetic_window(
+    cfg: VinsConfig,
+    n_landmarks: int = 80,
+    seed: int = 0,
+    noise_px: float = 0.0,
+    imu_noise: float = 0.0,
+    t0: float = 0.0,
+    frame_dt: float = 0.1,
+) -> SyntheticWindow:
+    """Build one full window of ground-truth data.
+
+    noise_px: observation noise in *pixels* (converted via focal length).
+    imu_noise: multiplier on the config noise densities for IMU corruption.
+    """
+    rng = np.random.default_rng(seed)
+    F = cfg.window.num_frames
+    W = F - 1
+    M = cfg.frontend.max_features
+    N = cfg.window.max_imu_per_edge
+    g_mag = cfg.imu.gravity
+    gravity = np.array([0.0, 0.0, g_mag])
+
+    # Frame states.
+    t_frames = t0 + frame_dt * np.arange(F)
+    p_f, v_f, _, yaw_f, _ = _traj(t_frames)
+    q_f = np.asarray(lie.so3_exp_quat(
+        jnp.asarray(np.stack([np.zeros_like(yaw_f), np.zeros_like(yaw_f),
+                              yaw_f], -1), dtype=jnp.float32)))
+
+    state = WindowState(
+        p=jnp.asarray(p_f, jnp.float32),
+        q=jnp.asarray(q_f, jnp.float32),
+        v=jnp.asarray(v_f, jnp.float32),
+        ba=jnp.zeros((F, 3), jnp.float32),
+        bg=jnp.zeros((F, 3), jnp.float32),
+        inv_depth=jnp.zeros((M,), jnp.float32),
+    )
+
+    # IMU chunks between frames (row 0 seeds with the sample AT frame i).
+    n_sub = N - 1  # integration steps per edge
+    dt_imu = frame_dt / n_sub
+    dts = np.zeros((W, N), np.float32)
+    accs = np.zeros((W, N, 3), np.float32)
+    gyrs = np.zeros((W, N, 3), np.float32)
+    for e in range(W):
+        ts = t_frames[e] + dt_imu * np.arange(N)  # includes both endpoints
+        _, _, a_w, yaw, yaw_rate = _traj(ts)
+        Rwb = np.asarray(lie.quat_to_rotmat(lie.so3_exp_quat(jnp.asarray(
+            np.stack([np.zeros_like(yaw), np.zeros_like(yaw), yaw], -1),
+            dtype=jnp.float32))))
+        acc_b = np.einsum("nij,nj->ni", Rwb.transpose(0, 2, 1), a_w + gravity)
+        gyr_b = np.stack([np.zeros_like(yaw), np.zeros_like(yaw),
+                          yaw_rate], -1)
+        dts[e, 1:] = dt_imu
+        accs[e] = acc_b
+        gyrs[e] = gyr_b
+    if imu_noise > 0:
+        sq = 1.0 / np.sqrt(dt_imu)
+        accs += rng.normal(size=accs.shape) * cfg.imu.acc_n * imu_noise * sq * 0.01
+        gyrs += rng.normal(size=gyrs.shape) * cfg.imu.gyr_n * imu_noise * sq * 0.01
+    chunks = ImuChunk(jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs))
+
+    # Landmarks: scattered in an annulus outside the circle, varied height.
+    ang = rng.uniform(0, 2 * np.pi, n_landmarks)
+    rad = rng.uniform(5.0, 9.0, n_landmarks)
+    height = rng.uniform(-1.5, 1.5, n_landmarks)
+    lms = np.stack([rad * np.cos(ang), rad * np.sin(ang), height], -1)
+
+    # Extrinsics: camera looks along body +x (outward tangent), i.e.
+    # R_ic maps camera axes (x right, y down, z forward) to body axes.
+    R_ic = np.array([[0.0, 0.0, 1.0],
+                     [-1.0, 0.0, 0.0],
+                     [0.0, -1.0, 0.0]], np.float32)
+    q_ic = np.asarray(lie.rotmat_to_quat(jnp.asarray(R_ic)))
+    t_ic = np.array([0.05, 0.0, 0.02], np.float32)
+    ext = Extrinsics(tic=jnp.asarray(t_ic), qic=jnp.asarray(q_ic))
+
+    # Project landmarks into every frame.
+    obs = np.zeros((F, M, 2), np.float32)
+    mask = np.zeros((F, M), bool)
+    Rwb_f = np.asarray(lie.quat_to_rotmat(jnp.asarray(q_f)))
+    n_use = min(n_landmarks, M)
+    fov_lim = 0.7  # |x/z|,|y/z| limit ~ 35deg half-FOV
+    for f in range(F):
+        pts_b = np.einsum("ij,nj->ni", Rwb_f[f].T, lms[:n_use] - p_f[f])
+        pts_c = np.einsum("ij,nj->ni", R_ic.T, pts_b - t_ic)
+        z = pts_c[:, 2]
+        ok = z > 0.3
+        xy = pts_c[:, :2] / np.maximum(z[:, None], 1e-6)
+        ok &= (np.abs(xy[:, 0]) < fov_lim) & (np.abs(xy[:, 1]) < fov_lim)
+        if noise_px > 0:
+            xy = xy + rng.normal(size=xy.shape) * (noise_px / cfg.camera.focal)
+        obs[f, :n_use] = xy
+        mask[f, :n_use] = ok
+
+    # Anchor = first frame that observes the slot; valid = >=2 observations.
+    first = np.argmax(mask, axis=0).astype(np.int32)           # [M]
+    n_obs = mask.sum(axis=0)
+    valid = n_obs >= 2
+    track_id = np.where(valid, np.arange(M), -1).astype(np.int32)
+
+    # Ground-truth inverse depth at the anchor frame.
+    inv_depth = np.zeros(M, np.float32)
+    for m in range(n_use):
+        if not valid[m]:
+            continue
+        f = first[m]
+        pts_b = Rwb_f[f].T @ (lms[m] - p_f[f])
+        pts_c = R_ic.T @ (pts_b - t_ic)
+        inv_depth[m] = 1.0 / max(pts_c[2], 1e-3)
+
+    feats = FeatureTable(
+        obs=jnp.asarray(obs), mask=jnp.asarray(mask),
+        anchor=jnp.asarray(first), valid=jnp.asarray(valid),
+        track_id=jnp.asarray(track_id))
+    state = state._replace(inv_depth=jnp.asarray(inv_depth))
+
+    return SyntheticWindow(
+        state=state, chunks=chunks, feats=feats,
+        landmarks=jnp.asarray(lms, jnp.float32), ext=ext,
+        gravity=jnp.asarray(gravity, jnp.float32),
+        timestamps=jnp.asarray(t_frames, jnp.float32))
