@@ -1,0 +1,270 @@
+"""Sliding-window VIO backend: one pure jitted step per camera frame.
+
+This is the functional re-design of VINS::processImage + solve_ceres +
+slideWindow (VINS_ios/VINS.cpp:377-830, 1149-1293): instead of a mutable
+estimator object crossed by five threads, the entire backend is
+
+    backend_step : (BackendState, FrameInput) → (BackendState, BackendOutput)
+
+compiled once. Data-dependent control flow — keyframe vs non-keyframe
+marginalization (MARGIN_OLD / MARGIN_SECOND_NEW), failure detection — is
+`lax.cond`/masked updates with static shapes (SURVEY.md §7.3).
+
+Per step:
+  1. stash the incoming IMU chunk on the newest edge; repropagate ALL edge
+     preintegrations at the current bias estimate (the reference only
+     repropagates at init — integration_base.h:47 — and otherwise relies
+     on first-order bias Jacobians; with raw chunks on device the exact
+     repropagation is a cheap vmapped scan, strictly better);
+  2. ingest the newest frame's tracked features (slot F-1);
+  3. keyframe decision by compensated parallax (feature_manager.cpp:103);
+  4. dead-reckon an initial guess for the newest state (VINS.cpp:359-370);
+  5. SVD-triangulate new landmarks (feature_manager.cpp:190);
+  6. LM/Schur window solve (solver.py);
+  7. failure detection (VINS.cpp:214-265);
+  8. marginalize (old / second-new) and slide every buffer.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VinsConfig
+from ..utils import lie
+from . import feature_manager as fm
+from . import marginalization as marg
+from . import preintegration as pre_mod
+from .factors import Extrinsics
+from .solver import SolveStats, WindowProblem, solve_window
+from .state import FeatureTable, PriorFactor, WindowState
+
+
+class BackendState(NamedTuple):
+    window: WindowState
+    feats: FeatureTable
+    chunks: pre_mod.ImuChunk      # stacked [W, N] raw IMU per edge
+    prior: PriorFactor
+    last_is_kf: jax.Array         # [] bool — last frame's keyframe flag
+    failure: jax.Array            # [] bool
+
+    @staticmethod
+    def fresh(cfg: VinsConfig) -> "BackendState":
+        F = cfg.window.num_frames
+        M = cfg.frontend.max_features
+        N = cfg.window.max_imu_per_edge
+        W = F - 1
+        return BackendState(
+            window=WindowState.identity(F, M),
+            feats=FeatureTable.empty(F, M),
+            chunks=jax.tree.map(
+                lambda x: jnp.tile(x[None], (W,) + (1,) * x.ndim),
+                pre_mod.ImuChunk.empty(N)),
+            prior=PriorFactor.empty(F),
+            last_is_kf=jnp.asarray(True),
+            failure=jnp.asarray(False),
+        )
+
+
+class FrameInput(NamedTuple):
+    """One camera frame's worth of backend input."""
+
+    chunk: pre_mod.ImuChunk       # IMU samples since the previous frame
+    ids: jax.Array                # [Mi] int32 track ids (-1 = invalid)
+    obs: jax.Array                # [Mi, 2] normalized observations
+    obs_valid: jax.Array          # [Mi] bool
+
+
+class BackendOutput(NamedTuple):
+    pose_p: jax.Array             # [3] newest pose
+    pose_q: jax.Array             # [4]
+    vel: jax.Array                # [3]
+    is_keyframe: jax.Array        # []
+    parallax_px: jax.Array        # []
+    failure: jax.Array            # []
+    stats: SolveStats
+    # Drift-corrected sparse map of the newest frame (for viz/loop/AR).
+    point_cloud: jax.Array        # [M, 3] world points
+    point_valid: jax.Array        # [M]
+
+
+def _failure_detection(prev: WindowState, cur: WindowState,
+                       feats: FeatureTable, cfg: VinsConfig) -> jax.Array:
+    """Reference VINS::failureDetection (VINS.cpp:214-265)."""
+    F = cur.p.shape[0]
+    # `prev` slots F-2 hold the previous frame's (post-slide) pose; the
+    # reference compares last_P/last_R against the newly solved newest pose.
+    n_tracked = jnp.sum(feats.mask[F - 1] & feats.valid)
+    bg_norm = jnp.linalg.norm(cur.bg[F - 1])
+    ba_norm = jnp.linalg.norm(cur.ba[F - 1])
+    dp = jnp.linalg.norm(cur.p[F - 1] - prev.p[F - 2])
+    dz = jnp.abs(cur.p[F - 1, 2] - prev.p[F - 2, 2])
+    dq = lie.quat_mul(lie.quat_conj(prev.q[F - 2]), cur.q[F - 1])
+    ang = jnp.linalg.norm(lie.so3_log(dq))
+    return (
+        (n_tracked < cfg.fail_min_features)
+        | (bg_norm > cfg.fail_max_gyr_bias)
+        | (ba_norm > 2.5)
+        | (dp > cfg.fail_max_trans_jump)
+        | (dz > cfg.fail_max_z_jump)
+        | (ang > jnp.deg2rad(cfg.fail_max_rot_jump_deg))
+        | ~jnp.all(jnp.isfinite(cur.p))
+    )
+
+
+def landmark_world_points(window: WindowState, feats: FeatureTable,
+                          ext: Extrinsics):
+    """[M,3] world positions of current landmarks (update_loop_correction /
+    point-cloud publishing, VINS.cpp:307-331)."""
+    M = feats.track_id.shape[0]
+    pt_anchor = jnp.concatenate(
+        [jnp.take_along_axis(feats.obs, feats.anchor[None, :, None], axis=0)[0],
+         jnp.ones((M, 1), feats.obs.dtype)], axis=-1)
+    pt_anchor = pt_anchor / jnp.maximum(window.inv_depth[:, None], 1e-6)
+    q_a = window.q[feats.anchor]
+    p_a = window.p[feats.anchor]
+    pt_imu = lie.quat_rotate(ext.qic, pt_anchor) + ext.tic
+    return lie.quat_rotate(q_a, pt_imu) + p_a
+
+
+def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
+                 ext: Extrinsics, gravity: jax.Array
+                 ) -> Tuple[BackendState, BackendOutput]:
+    F = cfg.window.num_frames
+    W = F - 1
+    focal = cfg.camera.focal
+
+    # 1. Newest edge gets the incoming chunk.
+    chunks = jax.tree.map(
+        lambda all_, new: all_.at[W - 1].set(new), est.chunks, inp.chunk)
+
+    # 2. Ingest features into slot F-1.
+    feats = fm.ingest_frame(est.feats, jnp.asarray(F - 1), inp.ids, inp.obs,
+                            inp.obs_valid)
+
+    # 3. Keyframe decision (decides the fate of the second-newest frame).
+    is_kf, par_px = fm.keyframe_parallax(feats, cfg, focal)
+
+    # 4. Initial guess for the newest state by dead reckoning from F-2.
+    win = est.window
+    p_n, q_n, v_n = pre_mod.propagate_state(
+        win.p[F - 2], win.q[F - 2], win.v[F - 2],
+        win.ba[F - 2], win.bg[F - 2], inp.chunk, gravity)
+    win = win._replace(
+        p=win.p.at[F - 1].set(p_n), q=win.q.at[F - 1].set(q_n),
+        v=win.v.at[F - 1].set(v_n),
+        ba=win.ba.at[F - 1].set(win.ba[F - 2]),
+        bg=win.bg.at[F - 1].set(win.bg[F - 2]))
+
+    # 5. Triangulate new landmarks.
+    win = fm.triangulate(win, feats, ext, cfg)
+
+    # 6. Repropagate all edges at current biases, then solve.
+    preints = jax.vmap(
+        lambda c, ba, bg: pre_mod.propagate(c, ba, bg, cfg.imu)
+    )(chunks, win.ba[:W], win.bg[:W])
+    prob = WindowProblem(
+        feats=feats, preints=preints, prior=est.prior, ext=ext,
+        gravity=gravity, sqrt_info_proj=jnp.asarray(focal / 1.5),
+        frame_free=jnp.ones(F, win.p.dtype))
+    solved, stats = solve_window(win, prob, cfg)
+
+    # 7. Failure detection; on failure keep the predicted (unsolved) state.
+    fail = _failure_detection(win, solved, feats, cfg)
+    solved = jax.tree.map(lambda a, b: jnp.where(fail, a, b), win, solved)
+
+    feats = fm.remove_failures(solved, feats)
+    pts_w = landmark_world_points(solved, feats, ext)
+
+    out = BackendOutput(
+        pose_p=solved.p[F - 1], pose_q=solved.q[F - 1], vel=solved.v[F - 1],
+        is_keyframe=is_kf, parallax_px=par_px, failure=fail, stats=stats,
+        point_cloud=pts_w, point_valid=feats.valid & feats.mask[F - 1])
+
+    # 8. Marginalize + slide (MARGIN_OLD if the 2nd-newest was a keyframe).
+    prob_solved = prob._replace(feats=feats)
+
+    def do_old(_):
+        prior_new = marg.marginalize_old(solved, prob_solved, cfg)
+        feats_new, inv_new = fm.slide_old(solved, feats, ext, cfg)
+        win_new = marg.slide_state_old(solved)._replace(inv_depth=inv_new)
+        chunks_new = jax.tree.map(
+            lambda c: jnp.concatenate([c[1:], jnp.zeros_like(c[:1])], 0),
+            chunks)
+        return win_new, feats_new, chunks_new, prior_new
+
+    def do_new(_):
+        prior_new = marg.marginalize_second_new(solved, est.prior, cfg)
+        feats_new = fm.slide_new(feats)
+        win_new = marg.slide_state_new(solved)
+        merged = marg.merge_chunks(
+            jax.tree.map(lambda c: c[W - 2], chunks),
+            jax.tree.map(lambda c: c[W - 1], chunks))
+        chunks_new = jax.tree.map(
+            lambda c, m: c.at[W - 2].set(m).at[W - 1].set(jnp.zeros_like(c[W - 1])),
+            chunks, merged)
+        return win_new, feats_new, chunks_new, prior_new
+
+    win2, feats2, chunks2, prior2 = jax.lax.cond(is_kf, do_old, do_new,
+                                                 operand=None)
+
+    new_est = BackendState(
+        window=win2, feats=feats2, chunks=chunks2, prior=prior2,
+        last_is_kf=is_kf, failure=fail)
+    return new_est, out
+
+
+class VinsEstimator:
+    """Host-side orchestration shell (the reference's ViewController role,
+    minus iOS): owns the compiled backend step and the bootstrap path.
+
+    Until automatic initialization lands (SURVEY.md §7.2 stage 6), call
+    `bootstrap(window_state, feats, chunks)` with a known-good window
+    (tests/synthetic) and then feed frames with `process_frame`.
+    """
+
+    def __init__(self, cfg: VinsConfig, ext: Extrinsics, dtype=jnp.float32):
+        self.cfg = cfg
+        self.ext = ext
+        self.gravity = jnp.array([0.0, 0.0, cfg.imu.gravity], dtype)
+        self.state = BackendState.fresh(cfg)
+        self.initialized = False
+        self._step = jax.jit(
+            lambda est, inp: backend_step(est, inp, cfg, ext, self.gravity))
+
+    def bootstrap(self, window: WindowState, feats: FeatureTable,
+                  chunks: pre_mod.ImuChunk):
+        self.state = self.state._replace(window=window, feats=feats,
+                                         chunks=chunks)
+        self.initialized = True
+
+    def process_frame(self, inp: FrameInput) -> BackendOutput:
+        assert self.initialized, "estimator not initialized"
+        self.state, out = self._step(self.state, inp)
+        if bool(out.failure):
+            # Reference behavior: clearState + re-init (VINS.cpp:463-467).
+            self.initialized = False
+        return out
+
+
+def run_sequence_scan(est: BackendState, inputs: FrameInput, cfg: VinsConfig,
+                      ext: Extrinsics, gravity: jax.Array):
+    """Replay a whole stacked input sequence through the backend in ONE
+    device program (`lax.scan` over frames).
+
+    This is the throughput path: per-frame host dispatch (expensive over a
+    remote-tunneled chip, and nonzero even locally) is amortized across the
+    sequence; the interactive `VinsEstimator.process_frame` path stays for
+    streaming use. Failure handling inside the scan freezes the state
+    (holds the last good window) while flagging the frame, mirroring the
+    reference's clearState-and-reinit at the host level.
+    """
+
+    def f(e, inp):
+        e2, out = backend_step(e, inp, cfg, ext, gravity)
+        e2 = jax.tree.map(
+            lambda a, b: jnp.where(out.failure, a, b), e, e2)
+        return e2, out
+
+    return jax.lax.scan(f, est, inputs)

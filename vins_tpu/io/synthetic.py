@@ -173,3 +173,102 @@ def make_synthetic_window(
         landmarks=jnp.asarray(lms, jnp.float32), ext=ext,
         gravity=jnp.asarray(gravity, jnp.float32),
         timestamps=jnp.asarray(t_frames, jnp.float32))
+
+
+class SyntheticSequence(NamedTuple):
+    """Per-frame streaming inputs + ground truth for N frames."""
+
+    p: jnp.ndarray           # [N, 3] ground-truth positions
+    q: jnp.ndarray           # [N, 4]
+    v: jnp.ndarray           # [N, 3]
+    chunks: ImuChunk         # stacked [N, S]; chunk k covers (k-1 -> k)
+    ids: jnp.ndarray         # [N, Mi] per-frame visible track ids (-1 pad)
+    obs: jnp.ndarray         # [N, Mi, 2]
+    obs_valid: jnp.ndarray   # [N, Mi]
+    landmarks: jnp.ndarray   # [L, 3]
+    ext: Extrinsics
+    gravity: jnp.ndarray
+    timestamps: jnp.ndarray  # [N]
+
+
+def make_synthetic_sequence(
+    cfg: VinsConfig,
+    n_frames: int = 60,
+    n_landmarks: int = 400,
+    seed: int = 0,
+    noise_px: float = 0.0,
+    frame_dt: float = 0.1,
+    t0: float = 0.0,
+    traj_kwargs: dict | None = None,
+) -> SyntheticSequence:
+    """Streamed version of make_synthetic_window: many frames around the
+    circle with a larger landmark field, emitting per-frame (chunk, ids,
+    obs) exactly as the front-end would feed the backend."""
+    tk = traj_kwargs or {}
+    traj = lambda t: _traj(t, **tk)
+    rng = np.random.default_rng(seed)
+    S = cfg.window.max_imu_per_edge
+    Mi = cfg.frontend.max_features
+    gravity = np.array([0.0, 0.0, cfg.imu.gravity])
+
+    t_frames = t0 + frame_dt * np.arange(n_frames)
+    p_f, v_f, _, yaw_f, _ = traj(t_frames)
+    q_f = np.asarray(lie.so3_exp_quat(jnp.asarray(
+        np.stack([np.zeros_like(yaw_f), np.zeros_like(yaw_f), yaw_f], -1),
+        dtype=jnp.float32)))
+
+    n_sub = S - 1
+    dt_imu = frame_dt / n_sub
+    dts = np.zeros((n_frames, S), np.float32)
+    accs = np.zeros((n_frames, S, 3), np.float32)
+    gyrs = np.zeros((n_frames, S, 3), np.float32)
+    for k in range(1, n_frames):
+        ts = t_frames[k - 1] + dt_imu * np.arange(S)
+        _, _, a_w, yaw, yaw_rate = traj(ts)
+        Rwb = np.asarray(lie.quat_to_rotmat(lie.so3_exp_quat(jnp.asarray(
+            np.stack([np.zeros_like(yaw), np.zeros_like(yaw), yaw], -1),
+            dtype=jnp.float32))))
+        accs[k] = np.einsum("nij,nj->ni", Rwb.transpose(0, 2, 1), a_w + gravity)
+        gyrs[k] = np.stack([np.zeros_like(yaw), np.zeros_like(yaw), yaw_rate], -1)
+        dts[k, 1:] = dt_imu
+    chunks = ImuChunk(jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs))
+
+    ang = rng.uniform(0, 2 * np.pi, n_landmarks)
+    rad = rng.uniform(5.0, 9.0, n_landmarks)
+    height = rng.uniform(-1.5, 1.5, n_landmarks)
+    lms = np.stack([rad * np.cos(ang), rad * np.sin(ang), height], -1)
+
+    R_ic = np.array([[0.0, 0.0, 1.0],
+                     [-1.0, 0.0, 0.0],
+                     [0.0, -1.0, 0.0]], np.float32)
+    q_ic = np.asarray(lie.rotmat_to_quat(jnp.asarray(R_ic)))
+    t_ic = np.array([0.05, 0.0, 0.02], np.float32)
+    ext = Extrinsics(tic=jnp.asarray(t_ic), qic=jnp.asarray(q_ic))
+
+    Rwb_f = np.asarray(lie.quat_to_rotmat(jnp.asarray(q_f)))
+    fov_lim = 0.7
+    ids_out = np.full((n_frames, Mi), -1, np.int32)
+    obs_out = np.zeros((n_frames, Mi, 2), np.float32)
+    ok_out = np.zeros((n_frames, Mi), bool)
+    for f in range(n_frames):
+        pts_b = np.einsum("ij,nj->ni", Rwb_f[f].T, lms - p_f[f])
+        pts_c = np.einsum("ij,nj->ni", R_ic.T, pts_b - t_ic)
+        z = pts_c[:, 2]
+        vis = z > 0.3
+        xy = pts_c[:, :2] / np.maximum(z[:, None], 1e-6)
+        vis &= (np.abs(xy[:, 0]) < fov_lim) & (np.abs(xy[:, 1]) < fov_lim)
+        sel = np.flatnonzero(vis)[:Mi]
+        if noise_px > 0:
+            xy = xy + rng.normal(size=xy.shape) * (noise_px / cfg.camera.focal)
+        ids_out[f, :len(sel)] = sel
+        obs_out[f, :len(sel)] = xy[sel]
+        ok_out[f, :len(sel)] = True
+
+    return SyntheticSequence(
+        p=jnp.asarray(p_f, jnp.float32), q=jnp.asarray(q_f, jnp.float32),
+        v=jnp.asarray(v_f, jnp.float32), chunks=chunks,
+        ids=jnp.asarray(ids_out), obs=jnp.asarray(obs_out),
+        obs_valid=jnp.asarray(ok_out),
+        landmarks=jnp.asarray(lms, jnp.float32), ext=ext,
+        gravity=jnp.asarray(gravity, jnp.float32),
+        timestamps=jnp.asarray(t_frames, jnp.float32))
