@@ -1,0 +1,86 @@
+"""Automatic initialization tests (SURVEY.md §7.2 stage 6): recover known
+scale, gravity direction, velocities, and relative poses on synthetic data
+with NO ground-truth state provided."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vins_tpu.config import VinsConfig
+from vins_tpu.core import preintegration as pre_mod
+from vins_tpu.core.initialization import (InitStatus, initialize,
+                                          find_reference_frame, global_sfm,
+                                          solve_gyro_bias)
+from vins_tpu.io.synthetic import make_synthetic_window
+from vins_tpu.utils import lie
+
+CFG = VinsConfig()
+F = CFG.window.num_frames
+
+
+@pytest.fixture(scope="module")
+def syn():
+    return make_synthetic_window(CFG, n_landmarks=128, seed=11)
+
+
+def test_find_reference_frame(syn):
+    l, ok = find_reference_frame(syn.feats, CFG.camera.focal)
+    assert ok
+    assert 0 <= l < F - 1
+
+
+def test_gyro_bias_recovery(syn):
+    # Corrupt the gyro with a constant bias; solver must recover it.
+    bias = jnp.array([0.02, -0.01, 0.015])
+    chunks = syn.chunks._replace(gyr=syn.chunks.gyr + bias[None, None, :])
+    pre0 = jax.vmap(lambda c: pre_mod.propagate(
+        c, jnp.zeros(3), jnp.zeros(3), CFG.imu))(chunks)
+    bg = solve_gyro_bias(syn.state.q, pre0)
+    np.testing.assert_allclose(np.asarray(bg), np.asarray(bias), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_full_initialization_recovers_metric_state(syn):
+    res = initialize(syn.feats, syn.chunks, syn.ext, CFG)
+    assert res.status == InitStatus.SUCCESS
+    win = res.window
+    gt = syn.state
+
+    # Scale: pairwise distances must match ground truth.
+    d_est = np.linalg.norm(np.asarray(win.p[1:]) - np.asarray(win.p[:-1]),
+                           axis=-1)
+    d_gt = np.linalg.norm(np.asarray(gt.p[1:]) - np.asarray(gt.p[:-1]),
+                          axis=-1)
+    np.testing.assert_allclose(d_est, d_gt, rtol=0.05)
+
+    # Gravity alignment: roll/pitch of every frame matches GT (yaw is gauge).
+    ypr_est = np.asarray(lie.rotmat_to_ypr(lie.quat_to_rotmat(win.q)))
+    ypr_gt = np.asarray(lie.rotmat_to_ypr(lie.quat_to_rotmat(gt.q)))
+    np.testing.assert_allclose(ypr_est[:, 1:], ypr_gt[:, 1:], atol=0.02)
+
+    # Relative poses in the frame-0 body frame match GT.
+    R0e = np.asarray(lie.quat_to_rotmat(win.q[0]))
+    R0g = np.asarray(lie.quat_to_rotmat(gt.q[0]))
+    rel_e = np.einsum("ji,fj->fi", R0e,
+                      np.asarray(win.p) - np.asarray(win.p[0]))
+    rel_g = np.einsum("ji,fj->fi", R0g,
+                      np.asarray(gt.p) - np.asarray(gt.p[0]))
+    np.testing.assert_allclose(rel_e, rel_g, atol=0.05)
+
+    # Velocities: magnitudes match (direction up to yaw gauge).
+    v_est = np.linalg.norm(np.asarray(win.v), axis=-1)
+    v_gt = np.linalg.norm(np.asarray(gt.v), axis=-1)
+    np.testing.assert_allclose(v_est, v_gt, rtol=0.08)
+
+    # Depths triangulated for most valid features.
+    valid = np.asarray(syn.feats.valid)
+    assert (np.asarray(win.inv_depth)[valid] > 0).mean() > 0.9
+
+
+@pytest.mark.slow
+def test_initialization_rejects_degenerate_motion():
+    """Pure rotation (no translation) must be rejected (no parallax)."""
+    syn = make_synthetic_window(CFG, n_landmarks=128, seed=12,
+                                frame_dt=0.001)  # ~zero baseline
+    res = initialize(syn.feats, syn.chunks, syn.ext, CFG)
+    assert res.status != InitStatus.SUCCESS

@@ -7,6 +7,13 @@ visual-inertial initialization, motion-only high-rate tracking, loop
 closure with a 4-DoF pose graph, and distributed BA over a device mesh.
 """
 
+import jax as _jax
+
+# The estimator is small-matrix nonlinear least squares, not NN matmuls:
+# TPU's default bf16 MXU passes destroy the conditioned linear systems
+# (visual-inertial alignment verifiably fails). Force full fp32 matmuls.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .config import (VinsConfig, CameraConfig, ImuConfig, SolverConfig,
                      FrontendConfig, LoopConfig, WindowConfig, MeshConfig,
                      default_config, euroc_config)

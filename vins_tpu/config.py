@@ -23,10 +23,12 @@ class CameraConfig:
 
     Mirrors the per-device table in reference global_param.cpp:24-132
     (fx/fy/cx/cy, TIC, RIC=ypr(0,0,180°)) and EuRoC-style calibrations.
+    The mobile profiles are portrait 480×640 (reference
+    feature_tracker.hpp:26-27 COL=480, ROW=640).
     """
 
-    width: int = 640
-    height: int = 480
+    width: int = 480
+    height: int = 640
     fx: float = 526.600
     fy: float = 526.678
     cx: float = 243.481
@@ -92,7 +94,7 @@ class FrontendConfig:
     max_features: int = 128          # padded slot count (reference MAX_CNT=70)
     target_features: int = 70        # top-up target per keyframe batch
     min_distance: int = 30           # NMS spacing in px (MIN_DIST)
-    pyramid_levels: int = 3
+    pyramid_levels: int = 4
     klt_window: int = 21             # LK window (21x21)
     klt_iters: int = 10              # LK iterations per level
     klt_eps: float = 0.01            # LK convergence threshold (px)
@@ -180,11 +182,14 @@ class VinsConfig:
 
 # Device profile table, mirroring reference global_param.cpp:24-132.
 DEVICE_PROFILES = {
-    "iphone7p": CameraConfig(fx=526.600, fy=526.678, cx=243.481, cy=315.280,
+    "iphone7p": CameraConfig(width=480, height=640,
+                             fx=526.600, fy=526.678, cx=243.481, cy=315.280,
                              tic=(0.0, 0.092, 0.01)),
-    "iphone7": CameraConfig(fx=549.476, fy=549.458, cx=240.315, cy=320.617,
+    "iphone7": CameraConfig(width=480, height=640,
+                            fx=549.476, fy=549.458, cx=240.315, cy=320.617,
                             tic=(0.0, 0.065, 0.0)),
-    "iphone6s": CameraConfig(fx=549.477, fy=549.477, cx=240.0, cy=320.0,
+    "iphone6s": CameraConfig(width=480, height=640,
+                             fx=549.477, fy=549.477, cx=240.0, cy=320.0,
                              tic=(0.0, 0.065, 0.0)),
     # EuRoC MAV cam0 (for dataset replay; values from the public EuRoC calib).
     "euroc": CameraConfig(width=752, height=480,

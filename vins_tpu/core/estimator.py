@@ -170,6 +170,14 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
         frame_free=jnp.ones(F, win.p.dtype))
     solved, stats = solve_window(win, prob, cfg)
 
+    # NOTE: the reference re-anchors frame 0's yaw/position after every
+    # solve (new2old, VINS.cpp:131-212) because Ceres' gauge can wander.
+    # Here the marginalization prior + LM damping pin the gauge natively;
+    # A/B on noisy synthetic shows per-solve re-anchoring *doubles* drift
+    # (it discards prior-informed corrections to frame 0), so it is
+    # intentionally omitted. Re-anchoring is still done at failure
+    # recovery (host level) for trajectory continuity.
+
     # 7. Failure detection; on failure keep the predicted (unsolved) state.
     fail = _failure_detection(win, solved, feats, cfg)
     solved = jax.tree.map(lambda a, b: jnp.where(fail, a, b), win, solved)
