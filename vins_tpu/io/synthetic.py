@@ -200,10 +200,16 @@ def make_synthetic_sequence(
     frame_dt: float = 0.1,
     t0: float = 0.0,
     traj_kwargs: dict | None = None,
+    imu_per_frame: int | None = None,
 ) -> SyntheticSequence:
     """Streamed version of make_synthetic_window: many frames around the
     circle with a larger landmark field, emitting per-frame (chunk, ids,
-    obs) exactly as the front-end would feed the backend."""
+    obs) exactly as the front-end would feed the backend.
+
+    imu_per_frame: integration sub-steps per frame interval (default:
+    fill the whole buffer). Use a realistic count (e.g. 3-4 at 30 Hz
+    camera / 100 Hz IMU) when chunks will be merged across frames.
+    """
     tk = traj_kwargs or {}
     traj = lambda t: _traj(t, **tk)
     rng = np.random.default_rng(seed)
@@ -217,20 +223,23 @@ def make_synthetic_sequence(
         np.stack([np.zeros_like(yaw_f), np.zeros_like(yaw_f), yaw_f], -1),
         dtype=jnp.float32)))
 
-    n_sub = S - 1
+    n_sub = (S - 1) if imu_per_frame is None else imu_per_frame
+    assert n_sub <= S - 1
     dt_imu = frame_dt / n_sub
     dts = np.zeros((n_frames, S), np.float32)
     accs = np.zeros((n_frames, S, 3), np.float32)
     gyrs = np.zeros((n_frames, S, 3), np.float32)
     for k in range(1, n_frames):
-        ts = t_frames[k - 1] + dt_imu * np.arange(S)
+        ts = t_frames[k - 1] + dt_imu * np.arange(n_sub + 1)
         _, _, a_w, yaw, yaw_rate = traj(ts)
         Rwb = np.asarray(lie.quat_to_rotmat(lie.so3_exp_quat(jnp.asarray(
             np.stack([np.zeros_like(yaw), np.zeros_like(yaw), yaw], -1),
             dtype=jnp.float32))))
-        accs[k] = np.einsum("nij,nj->ni", Rwb.transpose(0, 2, 1), a_w + gravity)
-        gyrs[k] = np.stack([np.zeros_like(yaw), np.zeros_like(yaw), yaw_rate], -1)
-        dts[k, 1:] = dt_imu
+        accs[k, :n_sub + 1] = np.einsum(
+            "nij,nj->ni", Rwb.transpose(0, 2, 1), a_w + gravity)
+        gyrs[k, :n_sub + 1] = np.stack(
+            [np.zeros_like(yaw), np.zeros_like(yaw), yaw_rate], -1)
+        dts[k, 1:n_sub + 1] = dt_imu
     chunks = ImuChunk(jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs))
 
     ang = rng.uniform(0, 2 * np.pi, n_landmarks)
@@ -390,3 +399,74 @@ def ground_truth_correspondence(seq: SyntheticSequence, cfg: VinsConfig,
     pc = (X - o2) @ R_wc2
     z = np.maximum(pc[:, 2], 1e-6)
     return np.stack([pc[:, 0] / z * fx + cx, pc[:, 1] / z * fy + cy], -1)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic global-BA problem (for the distributed solver + benchmarks)
+# ---------------------------------------------------------------------------
+
+
+def make_ba_problem(n_poses: int = 16, n_landmarks: int = 512, seed: int = 0,
+                    noise_px: float = 0.0, pose_noise: float = 0.0,
+                    point_noise: float = 0.0, focal: float = 460.0):
+    """Ground-truth + perturbed-initial-guess global BA instance.
+
+    Poses walk a circle looking outward (same geometry as the window
+    generator); landmarks fill an annulus. Returns
+    (gt_state, init_state, problem) as parallel.dist_ba types.
+    """
+    from ..parallel.dist_ba import BAProblem, BAState
+
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0.0, 2.2, n_poses)
+    p_f, _, _, yaw_f, _ = _traj(t)
+    # world-from-camera: camera z looks outward along body +x.
+    R_ic = np.array([[0.0, 0.0, 1.0],
+                     [-1.0, 0.0, 0.0],
+                     [0.0, -1.0, 0.0]], np.float32)
+    q_f = np.asarray(lie.so3_exp_quat(jnp.asarray(
+        np.stack([np.zeros_like(yaw_f), np.zeros_like(yaw_f), yaw_f], -1),
+        dtype=jnp.float32)))
+    Rwb = np.asarray(lie.quat_to_rotmat(jnp.asarray(q_f)))
+    R_wc = Rwb @ R_ic
+    q_wc = np.asarray(lie.rotmat_to_quat(jnp.asarray(R_wc)))
+
+    ang = rng.uniform(0, 2 * np.pi, n_landmarks)
+    rad = rng.uniform(5.0, 9.0, n_landmarks)
+    height = rng.uniform(-1.5, 1.5, n_landmarks)
+    lms = np.stack([rad * np.cos(ang), rad * np.sin(ang), height],
+                   -1).astype(np.float32)
+
+    obs = np.zeros((n_landmarks, n_poses, 2), np.float32)
+    mask = np.zeros((n_landmarks, n_poses), np.float32)
+    for k in range(n_poses):
+        pc = (lms - p_f[k]) @ R_wc[k]          # R_wcᵀ (X - p)
+        z = pc[:, 2]
+        ok = z > 0.5
+        xy = pc[:, :2] / np.maximum(z[:, None], 1e-6)
+        ok &= (np.abs(xy[:, 0]) < 0.8) & (np.abs(xy[:, 1]) < 0.8)
+        if noise_px > 0:
+            xy = xy + rng.normal(size=xy.shape) * (noise_px / focal)
+        obs[:, k] = xy
+        mask[:, k] = ok
+
+    # Keep only landmarks with >=2 observations.
+    mask[(mask.sum(1) < 2)] = 0.0
+
+    gt = BAState(p=jnp.asarray(p_f, jnp.float32), q=jnp.asarray(q_wc),
+                 pts=jnp.asarray(lms))
+    p0 = p_f + rng.normal(size=p_f.shape) * pose_noise
+    p0[:2] = p_f[:2]  # gauge anchors keep ground truth
+    dth = rng.normal(size=(n_poses, 3)) * pose_noise * 0.2
+    dth[:2] = 0.0
+    q0 = np.asarray(lie.quat_mul(jnp.asarray(q_wc, jnp.float32),
+                                 lie.so3_exp_quat(jnp.asarray(
+                                     dth, jnp.float32))))
+    x0 = lms + rng.normal(size=lms.shape) * point_noise
+    init = BAState(p=jnp.asarray(p0, jnp.float32), q=jnp.asarray(q0),
+                   pts=jnp.asarray(x0, jnp.float32))
+    pose_free = np.ones(n_poses, np.float32)
+    pose_free[:2] = 0.0  # fix two poses: gauge + scale
+    prob = BAProblem(obs=jnp.asarray(obs), mask=jnp.asarray(mask),
+                     pose_free=jnp.asarray(pose_free))
+    return gt, init, prob
