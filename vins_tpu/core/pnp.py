@@ -1,0 +1,272 @@
+"""Motion-only high-rate estimator: the vinsPnP equivalent.
+
+Re-design of the reference's 30 Hz front-end solver
+(VINS_ios/vins_pnp.{hpp,cpp}): a PNP_SIZE+1 = 7-frame sliding window
+(global_param.hpp:29) over IMU preintegration factors and fixed-landmark
+perspective factors (perspective_factor.cpp:16-67), anchored to the most
+recent backend solution by freezing overlapping frames (the reference's
+`find_solved` + SetParameterBlockConstant, vins_pnp.cpp:63-83,288-293).
+Landmark depths come from the backend's solved features
+(`updateFeatures`, vins_pnp.cpp:85) and are held constant, so the
+problem has NO landmark columns: a dense 7·15-parameter LM solve
+(≤5 iterations, matching vins_pnp.cpp:329-331) that costs microseconds
+on the MXU — this is what gives the full-camera-rate AR pose between
+10 Hz backend solves.
+
+Everything is fixed-shape and jittable; one `pnp_step` per camera frame.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VinsConfig
+from ..utils import lie
+from . import preintegration as pre_mod
+from .factors import Extrinsics, perspective_residual
+
+
+class PnpState(NamedTuple):
+    """Motion-only window state over S = pnp_size+1 frames."""
+
+    p: jax.Array    # [S, 3]
+    q: jax.Array    # [S, 4]
+    v: jax.Array    # [S, 3]
+    ba: jax.Array   # [S, 3]
+    bg: jax.Array   # [S, 3]
+
+    @staticmethod
+    def identity(S: int, dtype=jnp.float32) -> "PnpState":
+        return PnpState(
+            p=jnp.zeros((S, 3), dtype),
+            q=jnp.tile(lie.quat_identity(dtype), (S, 1)),
+            v=jnp.zeros((S, 3), dtype),
+            ba=jnp.zeros((S, 3), dtype),
+            bg=jnp.zeros((S, 3), dtype))
+
+
+class PnpFeatures(NamedTuple):
+    """Fixed 3D landmarks + their per-frame observations.
+
+    The backend publishes world points for solved features
+    (reference solved_features feedback, ViewController.mm:733-757);
+    the motion-only solver treats them as constants.
+    """
+
+    pts_w: jax.Array    # [Mp, 3] world landmarks (constant)
+    obs: jax.Array      # [S, Mp, 2] normalized observations
+    mask: jax.Array     # [S, Mp] bool
+    weight: jax.Array   # [Mp] per-track weight (track_num/10, capped 1)
+
+    @staticmethod
+    def empty(S: int, Mp: int, dtype=jnp.float32) -> "PnpFeatures":
+        return PnpFeatures(
+            pts_w=jnp.zeros((Mp, 3), dtype),
+            obs=jnp.zeros((S, Mp, 2), dtype),
+            mask=jnp.zeros((S, Mp), bool),
+            weight=jnp.zeros((Mp,), dtype))
+
+
+class PnpWindow(NamedTuple):
+    """Full motion-only tracker state carried frame to frame."""
+
+    state: PnpState
+    feats: PnpFeatures
+    chunks: pre_mod.ImuChunk   # [S-1, N] raw IMU per edge
+    anchored: jax.Array        # [S] bool — frame matches a backend solve
+
+
+def _perspective_local(pt_w, obs, p, q, ext: Extrinsics, sqrt_info):
+    """(r [2], J [2,6]) of one fixed-landmark factor wrt the pose tangent."""
+
+    def local(d):
+        pp, qq = lie.pose_retract(p, q, d)
+        return sqrt_info * perspective_residual(pt_w, obs, pp, qq, ext)
+
+    zero = jnp.zeros(6, p.dtype)
+    return local(zero), jax.jacfwd(local)(zero)
+
+
+def _imu_local(pre, st: PnpState, e, gravity):
+    """(r [15], J [15,30]) of IMU edge e wrt both frames' tangents."""
+    S_info = pre_mod.sqrt_information(pre)
+
+    def local(delta):
+        di, dj = delta[:15], delta[15:]
+        pi, qi = lie.pose_retract(st.p[e], st.q[e], di[0:6])
+        pj, qj = lie.pose_retract(st.p[e + 1], st.q[e + 1], dj[0:6])
+        r = pre_mod.evaluate(
+            pre, pi, qi, st.v[e] + di[6:9], st.ba[e] + di[9:12],
+            st.bg[e] + di[12:15], pj, qj, st.v[e + 1] + dj[6:9],
+            st.ba[e + 1] + dj[9:12], st.bg[e + 1] + dj[12:15], gravity)
+        return S_info @ r
+
+    zero = jnp.zeros(30, st.p.dtype)
+    return local(zero), jax.jacfwd(local)(zero)
+
+
+def solve_pnp_window(win: PnpWindow, cfg: VinsConfig, ext: Extrinsics,
+                     gravity: jax.Array, iters: int = 5
+                     ) -> Tuple[PnpState, jax.Array]:
+    """Fixed-iteration LM over the motion-only window. Anchored frames are
+    frozen (columns zeroed + identity damping), mirroring the reference's
+    constant parameter blocks."""
+    st0 = win.state
+    S, Mp = win.feats.mask.shape
+    W = S - 1
+    D = 15 * S
+    dtype = st0.p.dtype
+    focal_info = jnp.asarray(cfg.camera.focal / 1.5, dtype)
+
+    free = (~win.anchored).astype(dtype)                     # [S]
+
+    preints = jax.vmap(
+        lambda c, ba, bg: pre_mod.propagate(c, ba, bg, cfg.imu)
+    )(win.chunks, st0.ba[:W], st0.bg[:W])
+
+    fgrid = jnp.repeat(jnp.arange(S, dtype=jnp.int32), Mp)   # [S*Mp]
+    mgrid = jnp.tile(jnp.arange(Mp, dtype=jnp.int32), S)
+
+    def build(st: PnpState):
+        # IMU rows.
+        r_imu, J_imu = jax.vmap(
+            lambda e: _imu_local(jax.tree.map(lambda x: x[e], preints),
+                                 st, e, gravity))(jnp.arange(W))
+        col_scale = jnp.concatenate([
+            jnp.repeat(free[:W, None], 15, 1),
+            jnp.repeat(free[1:, None], 15, 1)], axis=1)      # [W,30]
+        J_imu = J_imu * col_scale[:, None, :]
+
+        # Perspective rows (grid over frames × landmark slots).
+        w_fac = (win.feats.mask[fgrid, mgrid]
+                 & (win.feats.weight[mgrid] > 0)).astype(dtype)
+
+        def one(k):
+            si = focal_info * jnp.minimum(win.feats.weight[mgrid[k]], 1.0)
+            return _perspective_local(
+                win.feats.pts_w[mgrid[k]], win.feats.obs[fgrid[k], mgrid[k]],
+                st.p[fgrid[k]], st.q[fgrid[k]], ext, si)
+
+        r_per, J_per = jax.vmap(one)(jnp.arange(S * Mp))     # [K,2],[K,2,6]
+        r_per = r_per * w_fac[:, None]
+        J_per = J_per * (w_fac[:, None, None] * free[fgrid][:, None, None])
+
+        # Dense assembly.
+        R_rows = 15 * W + 2 * S * Mp
+        J = jnp.zeros((R_rows, D), dtype)
+        r = jnp.zeros((R_rows,), dtype)
+        rows_i = 15 * jnp.arange(W)[:, None] + jnp.arange(15)[None, :]
+        cols_i = 15 * jnp.arange(W)[:, None] + jnp.arange(30)[None, :]
+        J = J.at[rows_i[:, :, None], cols_i[:, None, :]].add(J_imu)
+        r = r.at[rows_i].set(r_imu)
+        base = 15 * W
+        rows_p = base + 2 * jnp.arange(S * Mp)[:, None] + jnp.arange(2)[None, :]
+        cols_p = 15 * fgrid[:, None] + jnp.arange(6)[None, :]
+        J = J.at[rows_p[:, :, None], cols_p[:, None, :]].add(J_per)
+        r = r.at[rows_p].set(r_per)
+        return J, r
+
+    def cost_of(st):
+        J, r = build(st)
+        return 0.5 * jnp.sum(r * r)
+
+    def retract(st: PnpState, dx):
+        d = dx.reshape(S, 15) * free[:, None]
+        p, q = lie.pose_retract(st.p, st.q, d[:, 0:6])
+        return PnpState(p=p, q=q, v=st.v + d[:, 6:9],
+                        ba=st.ba + d[:, 9:12], bg=st.bg + d[:, 12:15])
+
+    def lm_iter(carry, _):
+        st, lam, cost = carry
+        J, r = build(st)
+        H = J.T @ J
+        g = J.T @ r
+        H = H + jnp.diag(lam * jnp.diagonal(H) + 1e-6 + lam)
+        L = jnp.linalg.cholesky(H)
+        dx = -jax.scipy.linalg.cho_solve((L, True), g)
+        cand = retract(st, dx)
+        c2 = cost_of(cand)
+        good = jnp.isfinite(c2) & (c2 < cost)
+        st = jax.tree.map(lambda a, b: jnp.where(good, b, a), st, cand)
+        cost = jnp.where(good, c2, cost)
+        lam = jnp.clip(jnp.where(good, lam * 0.3, lam * 10.0), 1e-9, 1e3)
+        return (st, lam, cost), None
+
+    cost0 = cost_of(st0)
+    (st, _, cost), _ = jax.lax.scan(
+        lm_iter, (st0, jnp.asarray(1e-4, dtype), cost0), None, length=iters)
+    return st, cost
+
+
+def pnp_step(win: PnpWindow, chunk: pre_mod.ImuChunk,
+             obs: jax.Array, obs_mask: jax.Array,
+             cfg: VinsConfig, ext: Extrinsics, gravity: jax.Array
+             ) -> Tuple[PnpWindow, Tuple[jax.Array, jax.Array, jax.Array]]:
+    """One camera frame at full rate: slide, ingest, dead-reckon, solve.
+
+    obs/obs_mask: [Mp] observations of the CURRENT backend landmark set
+    (same slot order as win.feats.pts_w).
+    Returns (window, (p, q, v)) — the 30 Hz pose output.
+    """
+    S = win.state.p.shape[0]
+    W = S - 1
+
+    # Slide every per-frame buffer left by one (oldest drops).
+    def sl(x):
+        return jnp.concatenate([x[1:], x[-1:]], axis=0)
+
+    st = PnpState(*[sl(x) for x in win.state])
+    feats = win.feats._replace(
+        obs=jnp.concatenate([win.feats.obs[1:], obs[None]], 0),
+        mask=jnp.concatenate([win.feats.mask[1:], obs_mask[None]], 0))
+    chunks = jax.tree.map(
+        lambda c, new: jnp.concatenate([c[1:], new[None]], 0),
+        win.chunks, chunk)
+    anchored = jnp.concatenate(
+        [win.anchored[1:], jnp.zeros((1,), bool)], 0)
+
+    # Dead-reckon the newest frame from the previous one.
+    p_n, q_n, v_n = pre_mod.propagate_state(
+        st.p[W - 1], st.q[W - 1], st.v[W - 1], st.ba[W - 1], st.bg[W - 1],
+        chunk, gravity)
+    st = st._replace(
+        p=st.p.at[W].set(p_n), q=st.q.at[W].set(q_n), v=st.v.at[W].set(v_n),
+        ba=st.ba.at[W].set(st.ba[W - 1]), bg=st.bg.at[W].set(st.bg[W - 1]))
+
+    win2 = PnpWindow(state=st, feats=feats, chunks=chunks, anchored=anchored)
+    solved, cost = solve_pnp_window(win2, cfg, ext, gravity)
+    win2 = win2._replace(state=solved)
+    return win2, (solved.p[W], solved.q[W], solved.v[W])
+
+
+def anchor_from_backend(win: PnpWindow, frame_idx: jax.Array,
+                        p: jax.Array, q: jax.Array, v: jax.Array,
+                        ba: jax.Array, bg: jax.Array) -> PnpWindow:
+    """Inject the latest backend solution at window slot `frame_idx` and
+    freeze it (reference setInit/find_solved, vins_pnp.cpp:63-83). Biases
+    update every frame in the window (reference updates Bas/Bgs wholesale).
+    """
+    st = win.state
+    S = st.p.shape[0]
+    st = st._replace(
+        p=st.p.at[frame_idx].set(p),
+        q=st.q.at[frame_idx].set(q),
+        v=st.v.at[frame_idx].set(v),
+        ba=jnp.tile(ba[None], (S, 1)),
+        bg=jnp.tile(bg[None], (S, 1)))
+    return win._replace(state=st,
+                        anchored=win.anchored.at[frame_idx].set(True))
+
+
+def update_features(win: PnpWindow, pts_w: jax.Array, valid: jax.Array,
+                    track_len: jax.Array) -> PnpWindow:
+    """Refresh the fixed landmark set from the backend's solved features
+    (reference updateFeatures, vins_pnp.cpp:85). Slots align with the
+    backend's feature table; observations must be re-associated by the
+    caller if slot order changed."""
+    w = jnp.where(valid, jnp.minimum(track_len.astype(pts_w.dtype) / 10.0,
+                                     1.0), 0.0)
+    feats = win.feats._replace(pts_w=pts_w, weight=w)
+    return win._replace(feats=feats)
