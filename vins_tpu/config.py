@@ -117,6 +117,7 @@ class LoopConfig:
     max_kf_features: int = 512       # FAST corners per keyframe for BRIEF
     dislocal: int = 20               # exclude this many recent keyframes from query
     similarity_alpha: float = 0.3    # normalized-similarity gate (demoDetector.h:126)
+    min_similarity: float = 0.15     # absolute cosine-score floor
     temporal_k: int = 1              # temporal consistency matches (demoDetector.h:128)
     yaw_reject_deg: float = 30.0     # loop sanity: |yaw|>30° rejected
     trans_reject_m: float = 10.0     # loop sanity: |t|>10 m rejected

@@ -1,0 +1,369 @@
+"""Keyframe database + loop detection.
+
+Functional re-design of the reference's loop stack:
+  * KeyFrame (loop/keyframe.{h,cpp}): FAST+BRIEF keyframe with window
+    features and their world points → one row of fixed-capacity device
+    arrays;
+  * KeyFrameDatabase (loop/keyfame_database.{h,cpp}): bounded global list
+    (max 500) with drift-composed pose updates;
+  * TemplatedLoopDetector (loop/TemplatedLoopDetector.h:668-877): BoW
+    query → similarity gating → temporal consistency → geometric check.
+
+TPU-native detection pipeline (design note): the DBoW2 vocabulary +
+inverted file is replaced by a spatially-pooled binary-statistics global
+descriptor (ops/brief.global_descriptor); a query against the whole
+database is ONE [K, 1024] @ [1024] matvec on the MXU, normalized-
+similarity-gated exactly like demoDetector (alpha, dislocal exclusion,
+temporal k). Geometric verification = batched Hamming matching with
+ratio test + fundamental RANSAC (≥ MIN_LOOP_NUM inliers,
+keyframe.cpp:161-273) + PnP refinement of the old pose
+(solveOldPoseByPnP, keyframe.cpp:195-260) producing the relative-pose
+loop constraint for the pose graph.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VinsConfig
+from ..ops import brief as brief_mod
+from ..ops import corners as corners_mod
+from ..ops import ransac as ransac_mod
+from ..utils import camera as cam_mod
+from ..utils import lie
+from .pose_graph import PoseGraph, drift_from_solution, optimize_pose_graph
+
+
+class KeyframeDB(NamedTuple):
+    """Fixed-capacity keyframe store (device arrays). Nf = features/kf."""
+
+    count: jax.Array      # [] int32 — number of live keyframes
+    p: jax.Array          # [K, 3] drift-corrected global positions
+    q: jax.Array          # [K, 4] drift-corrected attitudes
+    p_origin: jax.Array   # [K, 3] raw VIO poses (pose-graph edges)
+    q_origin: jax.Array   # [K, 4]
+    gdesc: jax.Array      # [K, 1024] global descriptors
+    desc: jax.Array       # [K, Nf, 8] packed BRIEF
+    kp_norm: jax.Array    # [K, Nf, 2] normalized image coords
+    kp_px: jax.Array      # [K, Nf, 2] pixel coords
+    pts_w: jax.Array      # [K, Nf, 3] world points (VIO world, uncorrected)
+    pts_ok: jax.Array     # [K, Nf] bool — world point valid
+    kp_ok: jax.Array      # [K, Nf] bool — keypoint valid
+    segment: jax.Array    # [K] int32 — trajectory segment (failure resets)
+
+    @staticmethod
+    def empty(K: int, Nf: int, dtype=jnp.float32) -> "KeyframeDB":
+        return KeyframeDB(
+            count=jnp.zeros((), jnp.int32),
+            p=jnp.zeros((K, 3), dtype),
+            q=jnp.tile(lie.quat_identity(dtype), (K, 1)),
+            p_origin=jnp.zeros((K, 3), dtype),
+            q_origin=jnp.tile(lie.quat_identity(dtype), (K, 1)),
+            gdesc=jnp.zeros((K, 1024), dtype),
+            desc=jnp.zeros((K, Nf, 8), jnp.uint32),
+            kp_norm=jnp.zeros((K, Nf, 2), dtype),
+            kp_px=jnp.zeros((K, Nf, 2), dtype),
+            pts_w=jnp.zeros((K, Nf, 3), dtype),
+            pts_ok=jnp.zeros((K, Nf), bool),
+            kp_ok=jnp.zeros((K, Nf), bool),
+            segment=jnp.zeros((K,), jnp.int32))
+
+
+class LoopHit(NamedTuple):
+    old_idx: int            # matched keyframe slot
+    cur_idx: int            # query keyframe slot
+    n_inliers: int
+    # Relative 4-DoF constraint: t_rel in old frame, relative yaw.
+    t_rel: np.ndarray       # [3]
+    yaw_rel: float
+    # Matched correspondences (for injecting loop factors into the window).
+    pts_w: np.ndarray       # [Nm, 3] current-kf world points
+    obs_old: np.ndarray     # [Nm, 2] their normalized obs in the old kf
+    match_ok: np.ndarray    # [Nm] bool
+
+
+def extract_keyframe_features(img: jax.Array, cfg: VinsConfig,
+                              n_feat: int, window_pts_px: jax.Array,
+                              window_pts_ok: jax.Array):
+    """FAST corners + BRIEF for a keyframe (extractBrief, keyframe.cpp:61):
+    the window's tracked features are kept (they carry world points) and
+    topped up with fresh FAST corners for matching robustness.
+
+    Returns (pts_px [Nf,2], ok [Nf], desc [Nf,8]).
+    """
+    Mw = window_pts_px.shape[0]
+    n_new = n_feat - Mw
+    assert n_new >= 0, "keyframe feature budget below window feature count"
+    resp = corners_mod.fast_score(img)
+    occ = corners_mod.occupancy_mask(img.shape, window_pts_px, window_pts_ok,
+                                     cfg.frontend.min_distance)
+    pick = corners_mod.select_corners_grid(resp, occ, n_new,
+                                           cfg.frontend.min_distance)
+    # The grid selector yields at most (H/cell)·(W/cell) candidates; pad
+    # to the fixed keyframe budget so DB rows have static shape.
+    n_pick = min(n_new, pick.pts.shape[0])
+    pad = n_new - n_pick
+    new_pts = jnp.concatenate(
+        [pick.pts[:n_pick], jnp.zeros((pad, 2), pick.pts.dtype)], axis=0)
+    new_ok = jnp.concatenate(
+        [pick.valid[:n_pick], jnp.zeros((pad,), bool)], axis=0)
+    pts = jnp.concatenate([window_pts_px, new_pts], axis=0)
+    ok = jnp.concatenate([window_pts_ok, new_ok], axis=0)
+    border = brief_mod.PATCH_HALF + 4
+    H, W = img.shape
+    inb = ((pts[:, 0] >= border) & (pts[:, 0] < W - border)
+           & (pts[:, 1] >= border) & (pts[:, 1] < H - border))
+    ok = ok & inb
+    desc = brief_mod.extract_brief(img, pts, ok)
+    return pts, ok, desc
+
+
+@jax.jit
+def _db_scores(gdesc_db: jax.Array, g_query: jax.Array) -> jax.Array:
+    return gdesc_db @ g_query
+
+
+@jax.jit
+def _add_row(db: KeyframeDB, idx, p, q, gdesc, desc, kp_norm, kp_px,
+             pts_w, pts_ok, kp_ok, segment):
+    return db._replace(
+        count=jnp.maximum(db.count, idx + 1),
+        p=db.p.at[idx].set(p), q=db.q.at[idx].set(q),
+        p_origin=db.p_origin.at[idx].set(p),
+        q_origin=db.q_origin.at[idx].set(q),
+        gdesc=db.gdesc.at[idx].set(gdesc),
+        desc=db.desc.at[idx].set(desc),
+        kp_norm=db.kp_norm.at[idx].set(kp_norm),
+        kp_px=db.kp_px.at[idx].set(kp_px),
+        pts_w=db.pts_w.at[idx].set(pts_w),
+        pts_ok=db.pts_ok.at[idx].set(pts_ok),
+        kp_ok=db.kp_ok.at[idx].set(kp_ok),
+        segment=db.segment.at[idx].set(segment))
+
+
+@jax.jit
+def _geometric_verify(db: KeyframeDB, cur, old, key):
+    """Match cur→old descriptors, F-RANSAC on normalized coords.
+    Returns (match_idx [Nf], ok [Nf], n_inliers)."""
+    m = brief_mod.match_descriptors(
+        db.desc[cur], db.desc[old], db.kp_ok[cur], db.kp_ok[old],
+        max_dist=80, ratio=0.85)
+    obs_cur = db.kp_norm[cur]
+    obs_old = db.kp_norm[old, m.idx]
+    rr = ransac_mod.ransac_fundamental(
+        obs_cur, obs_old, m.ok, key, 256, (2.0 / 460.0) ** 2)
+    ok = m.ok & rr.inliers
+    return m.idx, ok, jnp.sum(ok)
+
+
+@jax.jit
+def _loop_relative_pose(db: KeyframeDB, cur, old, match_idx, match_ok,
+                        tic, qic):
+    """PnP the old keyframe against the current keyframe's world points
+    (solveOldPoseByPnP): returns (t_rel in old frame, yaw_rel, ok).
+
+    Observations live in the CAMERA frame, database poses are BODY poses:
+    PnP runs on the camera pose (T_wc = T_wb·T_bc) and converts back.
+    The constraint convention matches the pose graph: t_rel = R_oldᵀ
+    (p_cur − p_old), yaw_rel = yaw_cur − yaw_old, between BODY poses.
+    """
+    pts = db.pts_w[cur]                        # current kf world points
+    ok = match_ok & db.pts_ok[cur]
+    obs_old = db.kp_norm[old, match_idx]
+    # Initial guess: old CAMERA pose in VIO world.
+    p0_b, q0_b = db.p_origin[old], db.q_origin[old]
+    q0_c = lie.quat_mul(q0_b, qic)
+    p0_c = p0_b + lie.quat_rotate(q0_b, tic)
+    p_c, q_c, msr = ransac_mod.pnp_gn(pts, obs_old, ok, p0_c, q0_c,
+                                      iters=10)
+    good = (jnp.sum(ok) >= 10) & jnp.isfinite(msr) & (msr < 5e-3)
+    # Back to the body pose: T_wb = T_wc · T_cb.
+    q_old_new = lie.quat_mul(q_c, lie.quat_conj(qic))
+    p_old_new = p_c - lie.quat_rotate(q_old_new, tic)
+    # Current body pose relative to the REFINED old body pose.
+    p_cur, q_cur = db.p_origin[cur], db.q_origin[cur]
+    R_old = lie.quat_to_rotmat(q_old_new)
+    t_rel = R_old.T @ (p_cur - p_old_new)
+    yaw_rel = (lie.rotmat_to_ypr(lie.quat_to_rotmat(q_cur))[0]
+               - lie.rotmat_to_ypr(R_old)[0])
+    return t_rel, yaw_rel, good, msr
+
+
+class LoopCloser:
+    """Host orchestration of keyframe insertion, loop detection, and the
+    4-DoF pose graph (the reference's loop_thread + globalLoopThread roles,
+    ViewController.mm:888-1005, minus threads: explicit calls).
+    """
+
+    def __init__(self, cfg: VinsConfig, seed: int = 0,
+                 ext: Optional[Tuple[jax.Array, jax.Array]] = None):
+        """ext: (tic, qic) camera-IMU extrinsics; identity if None."""
+        self.cfg = cfg
+        if ext is None:
+            self.tic = jnp.zeros(3, jnp.float32)
+            self.qic = lie.quat_identity()
+        else:
+            self.tic, self.qic = ext
+        lp = cfg.loop
+        K = lp.max_keyframes
+        self.Nf = lp.max_kf_features
+        self.db = KeyframeDB.empty(K, self.Nf)
+        self.graph = PoseGraph.empty(K, E=64)
+        self.n_loops = 0
+        self.key = jax.random.PRNGKey(seed)
+        self.last_match: Optional[int] = None  # temporal consistency
+        self.r_drift = np.eye(3, dtype=np.float32)
+        self.t_drift = np.zeros(3, dtype=np.float32)
+        self.segment = 0
+
+    # -- insertion ---------------------------------------------------------
+
+    def add_keyframe(self, img, p, q, window_pts_px, window_pts_ok,
+                     window_pts_w, window_pts_w_ok) -> int:
+        """Insert a keyframe; returns its slot index.
+
+        p/q: VIO pose (body in world); window_*: the sliding window's
+        tracked features at this frame with their world points.
+        """
+        idx = int(self.db.count)
+        K = self.db.p.shape[0]
+        if idx >= K:
+            raise RuntimeError("keyframe database full; resampling TBD")
+
+        Mw = window_pts_px.shape[0]
+        pts_px, kp_ok, desc = extract_keyframe_features(
+            img, self.cfg, self.Nf, window_pts_px, window_pts_ok)
+        kp_norm = cam_mod.pixel_to_normalized(self.cfg.camera, pts_px)
+        gdesc = brief_mod.global_descriptor(desc, kp_ok, pts_px, img.shape)
+
+        pts_w = jnp.zeros((self.Nf, 3), jnp.float32).at[:Mw].set(window_pts_w)
+        pts_ok = jnp.zeros((self.Nf,), bool).at[:Mw].set(
+            window_pts_w_ok & window_pts_ok)
+
+        # Drift-compose the pose on insertion (keyfame_database.cpp:21-42).
+        p_corr = jnp.asarray(self.r_drift) @ p + jnp.asarray(self.t_drift)
+        q_corr = lie.rotmat_to_quat(
+            jnp.asarray(self.r_drift) @ lie.quat_to_rotmat(q))
+
+        self.db = _add_row(self.db, jnp.asarray(idx), p_corr, q_corr, gdesc,
+                           desc, kp_norm, pts_px, pts_w, pts_ok, kp_ok,
+                           jnp.asarray(self.segment, jnp.int32))
+        # Mirror into the pose graph nodes.
+        ypr = lie.rotmat_to_ypr(lie.quat_to_rotmat(q_corr))
+        self.graph = self.graph._replace(
+            t=self.graph.t.at[idx].set(p_corr),
+            yaw=self.graph.yaw.at[idx].set(ypr[0]),
+            pitch=self.graph.pitch.at[idx].set(ypr[1]),
+            roll=self.graph.roll.at[idx].set(ypr[2]),
+            node_ok=self.graph.node_ok.at[idx].set(True))
+        return idx
+
+    # -- detection ---------------------------------------------------------
+
+    def detect(self, cur_idx: int) -> Optional[LoopHit]:
+        """Query keyframe cur_idx against all older keyframes."""
+        lp = self.cfg.loop
+        n = int(self.db.count)
+        if cur_idx < 1 or n <= lp.dislocal:
+            self.last_match = None
+            return None
+
+        scores = np.array(_db_scores(self.db.gdesc, self.db.gdesc[cur_idx]))
+        # Normalizing score: similarity to the previous keyframe
+        # (demoDetector's ns_factor role).
+        ns = float(scores[cur_idx - 1]) if cur_idx >= 1 else 1.0
+        scores[max(0, cur_idx - lp.dislocal):] = -1.0  # dislocal + self/future
+        # Different segments can't loop (failure resets trajectory frame).
+        seg = np.asarray(self.db.segment)
+        scores[seg != seg[cur_idx]] = -1.0
+
+        best = int(np.argmax(scores[:n]))
+        best_score = float(scores[best])
+        # Relative gate vs the previous-keyframe score (demoDetector alpha)
+        # with an absolute floor: cosine scores are signed, so a small or
+        # negative ns must not make the gate vacuous.
+        gate = max(lp.similarity_alpha * ns, lp.min_similarity)
+        if best_score < gate:
+            self.last_match = None
+            return None
+
+        # Temporal consistency (k=1): previous query matched nearby.
+        consistent = (self.last_match is not None
+                      and abs(self.last_match - best) <= 10)
+        self.last_match = best
+        if lp.temporal_k > 0 and not consistent:
+            return None
+
+        # Geometric verification.
+        self.key, sub = jax.random.split(self.key)
+        midx, mok, n_in = _geometric_verify(
+            self.db, jnp.asarray(cur_idx), jnp.asarray(best), sub)
+        n_in = int(n_in)
+        if n_in < lp.min_loop_matches:
+            return None
+
+        t_rel, yaw_rel, good, msr = _loop_relative_pose(
+            self.db, jnp.asarray(cur_idx), jnp.asarray(best), midx, mok,
+            self.tic, self.qic)
+        if not bool(good):
+            return None
+        # Loop sanity rejection (ViewController.mm:836-840).
+        if (abs(float(yaw_rel)) > np.deg2rad(lp.yaw_reject_deg)
+                or float(jnp.linalg.norm(t_rel)) > lp.trans_reject_m):
+            return None
+
+        hit = LoopHit(
+            old_idx=best, cur_idx=cur_idx, n_inliers=n_in,
+            t_rel=np.asarray(t_rel), yaw_rel=float(yaw_rel),
+            pts_w=np.asarray(self.db.pts_w[cur_idx]),
+            obs_old=np.asarray(self.db.kp_norm[best, midx]),
+            match_ok=np.asarray(mok & self.db.pts_ok[cur_idx]))
+        self._add_loop_edge(hit)
+        return hit
+
+    # -- pose graph --------------------------------------------------------
+
+    def _add_loop_edge(self, hit: LoopHit):
+        e = self.n_loops
+        E = self.graph.loop_w.shape[0]
+        if e >= E:
+            return
+        self.graph = self.graph._replace(
+            loop_i=self.graph.loop_i.at[e].set(hit.old_idx),
+            loop_j=self.graph.loop_j.at[e].set(hit.cur_idx),
+            loop_t=self.graph.loop_t.at[e].set(jnp.asarray(hit.t_rel)),
+            loop_yaw=self.graph.loop_yaw.at[e].set(hit.yaw_rel),
+            loop_w=self.graph.loop_w.at[e].set(1.0))
+        self.n_loops += 1
+
+    def optimize(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Run the 4-DoF pose graph; update db poses and drift.
+        Returns (r_drift [3,3], t_drift [3])."""
+        if self.n_loops == 0:
+            return self.r_drift, self.t_drift
+        first = int(jnp.min(self.graph.loop_i[:self.n_loops]))
+        g_before = self.graph
+        g_after, cost = optimize_pose_graph(
+            self.graph, jnp.asarray(first),
+            iters=self.cfg.loop.pose_graph_iters,
+            n_back=self.cfg.loop.sequential_edges)
+        latest = int(self.db.count) - 1
+        R_d, t_d = drift_from_solution(g_before, g_after,
+                                       jnp.asarray(latest))
+        self.graph = g_after
+        # Write optimized poses back into the database.
+        q_new = jax.vmap(lambda y, pi, r: lie.rotmat_to_quat(
+            lie.ypr_to_rotmat(jnp.stack([y, pi, r]))))(
+                g_after.yaw, g_after.pitch, g_after.roll)
+        self.db = self.db._replace(p=g_after.t, q=q_new)
+        self.r_drift = np.asarray(R_d)
+        self.t_drift = np.asarray(t_d)
+        return self.r_drift, self.t_drift
+
+    def new_segment(self):
+        """Failure recovery: later keyframes are a new trajectory segment
+        (ViewController.mm:771-781)."""
+        self.segment += 1
