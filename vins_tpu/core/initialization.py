@@ -379,6 +379,39 @@ def refine_gravity(p_cam, R_body, preints, tic_body, g_mag, g0,
     return v, g, scale
 
 
+def refine_init_window(window: WindowState, feats: FeatureTable,
+                       chunks: pre_mod.ImuChunk, ext: Extrinsics,
+                       cfg: VinsConfig, rounds: int = 3):
+    """Joint visual-inertial refinement of the freshly aligned window —
+    the reference's accepting solve_ceres after visualInitialAlign
+    (VINS.cpp:415-443). The metric scale sits in a long LM valley
+    (coherent expansion of all positions + depths), so several
+    solve/re-triangulate rounds are run; the caller gates acceptance on
+    the final cost (≤ cfg.init_max_cost, VINS.cpp:416).
+
+    Returns (window, final_cost).
+    """
+    from .solver import WindowProblem, solve_window
+
+    F = cfg.window.num_frames
+    W = F - 1
+    gravity = jnp.array([0.0, 0.0, cfg.imu.gravity], window.p.dtype)
+    cost = jnp.zeros((), window.p.dtype)
+    for _ in range(rounds):
+        preints = jax.vmap(
+            lambda c, ba, bg: pre_mod.propagate(c, ba, bg, cfg.imu)
+        )(chunks, window.ba[:W], window.bg[:W])
+        prob = WindowProblem(
+            feats=feats, preints=preints, prior=PriorFactor.empty(F),
+            ext=ext, gravity=gravity,
+            sqrt_info_proj=jnp.asarray(cfg.camera.focal / 1.5),
+            frame_free=jnp.ones(F, window.p.dtype))
+        window, stats = solve_window(window, prob, cfg)
+        window = fm.triangulate(window, feats, ext, cfg)
+        cost = stats.final_cost
+    return window, cost
+
+
 # Module-level jitted wrappers: one compile per process, not per init call.
 _solve_gyro_bias_j = jax.jit(solve_gyro_bias)
 _linear_alignment_j = jax.jit(linear_alignment, static_argnames=("g_mag",))
