@@ -35,15 +35,15 @@ def build_inputs(cfg, n_frames, seed=0):
     from vins_tpu.core import feature_manager as fm
     from vins_tpu.core.state import FeatureTable
 
-    est = BackendState.fresh(cfg)
-    feats = FeatureTable.empty(F, cfg.frontend.max_features)
+    feats = FeatureTable.empty(F, cfg.window.max_landmarks)
     for f in range(F):
         feats = fm.ingest_frame(feats, jnp.asarray(f), seq.ids[f],
                                 seq.obs[f], seq.obs_valid[f])
     chunks = jax.tree.map(lambda x: x[1:F], seq.chunks)
-    win = est.window._replace(p=seq.p[:F], q=seq.q[:F], v=seq.v[:F])
+    win = BackendState.fresh(cfg).window._replace(
+        p=seq.p[:F], q=seq.q[:F], v=seq.v[:F])
     win = fm.triangulate(win, feats, seq.ext, cfg)
-    est = est._replace(window=win, feats=feats, chunks=chunks)
+    est = BackendState.bootstrap(cfg, win, feats, chunks)
 
     inputs = FrameInput(
         chunk=jax.tree.map(lambda x: x[F:], seq.chunks),

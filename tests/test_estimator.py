@@ -17,7 +17,7 @@ from vins_tpu.io.synthetic import make_synthetic_sequence
 
 CFG = VinsConfig()
 F = CFG.window.num_frames
-M = CFG.frontend.max_features
+M = CFG.window.max_landmarks
 
 
 def bootstrap_from_sequence(seq, est: VinsEstimator):

@@ -12,7 +12,7 @@ from vins_tpu.io.synthetic import make_synthetic_window
 
 CFG = VinsConfig()
 F = CFG.window.num_frames
-M = CFG.frontend.max_features
+M = CFG.window.max_landmarks
 
 
 def test_ingest_allocates_and_matches():

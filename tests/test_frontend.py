@@ -17,7 +17,7 @@ from vins_tpu.io.synthetic import (ground_truth_correspondence,
 
 CFG = VinsConfig()
 F = CFG.window.num_frames
-M = CFG.frontend.max_features
+M = CFG.window.max_landmarks
 
 
 @pytest.fixture(scope="module")

@@ -18,7 +18,8 @@ from vins_tpu.utils import lie
 def tiny_config():
     cfg = default_config()
     return cfg.replace(
-        window=cfg.window.__class__(window_size=4, max_imu_per_edge=8),
+        window=cfg.window.__class__(window_size=4, max_imu_per_edge=8,
+                                    max_landmarks=32),
         frontend=cfg.frontend.__class__(max_features=32, target_features=16),
     )
 
@@ -67,8 +68,7 @@ def test_batched_backend_step_runs_sharded():
     states, inputs = [], []
     for b in range(B):
         w = wins[b % 2]
-        est = BackendState.fresh(cfg)
-        est = est._replace(window=w.state, feats=w.feats, chunks=w.chunks)
+        est = BackendState.bootstrap(cfg, w.state, w.feats, w.chunks)
         states.append(est)
         F = cfg.window.num_frames
         inputs.append(FrameInput(

@@ -41,8 +41,10 @@ def syn():
 
 def test_ground_truth_has_near_zero_cost(syn):
     prob = build_problem(syn)
+    S_imu = jax.vmap(pre_mod.sqrt_information)(prob.preints)
+    sel = solver_mod.select_proj_factors(prob, CFG.solver.max_proj_factors)
     cost, (r_prior, r_imu, r_proj, w_valid) = solver_mod._residuals_only(
-        syn.state, prob, CFG)
+        syn.state, prob, CFG, S_imu, sel)
     assert float(jnp.abs(r_proj * w_valid[:, None]).max()) < 1e-3
     # IMU residual small (midpoint discretization error only).
     assert float(jnp.abs(r_imu).max()) < 0.2

@@ -85,6 +85,16 @@ class SolverConfig:
     # Eigenvalue clamp for the marginalization sqrt factorization
     # (reference: marginalization_factor.hpp:75, eps=1e-8).
     eig_eps: float = 1e-8
+    # Marginalization sqrt method: "chol" (fast, ridge-regularized) or
+    # "eigh" (reference-parity eigenvalue clamping).
+    marg_sqrt: str = "chol"
+    # Projection-factor budget per solve: active (frame, landmark) cells
+    # are compacted into this many slots instead of evaluating the full
+    # F×max_landmarks grid (reference bounds the same quantity via
+    # NUM_OF_F=1000 parameter blocks). ~70 tracked features × ≤10
+    # co-observing frames ≈ 650; excess-valid cells beyond the budget are
+    # dropped (longest-tracked first ordering keeps the best factors).
+    max_proj_factors: int = 768
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,6 +142,12 @@ class WindowConfig:
     window_size: int = 10            # => 11 frames in window
     pnp_size: int = 6                # motion-only window => 7 frames
     max_imu_per_edge: int = 32       # padded IMU samples between frames
+    # Estimator landmark-slot budget, decoupled from the tracker's
+    # per-frame feature budget (reference: NUM_OF_F=1000 estimator slots
+    # vs MAX_CNT=70 tracked, global_param.hpp:37). Dead tracks hold their
+    # slot until their observations leave the window (~F frames), so this
+    # must exceed max_features by the expected churn headroom.
+    max_landmarks: int = 256
     max_depth: float = 1e3
     min_depth: float = 0.1
     init_depth: float = 5.0          # INIT_DEPTH (feature_manager.hpp)

@@ -11,11 +11,13 @@ marginalization (MARGIN_OLD / MARGIN_SECOND_NEW), failure detection — is
 `lax.cond`/masked updates with static shapes (SURVEY.md §7.3).
 
 Per step:
-  1. stash the incoming IMU chunk on the newest edge; repropagate ALL edge
-     preintegrations at the current bias estimate (the reference only
-     repropagates at init — integration_base.h:47 — and otherwise relies
-     on first-order bias Jacobians; with raw chunks on device the exact
-     repropagation is a cheap vmapped scan, strictly better);
+  1. stash the incoming IMU chunk on the newest edge and propagate ONLY
+     that edge's preintegration (like the reference,
+     integration_base.h:39-45, bias drift is handled to first order by
+     the propagated Jacobian inside the residual; repropagating all edges
+     every frame costs a 31-step sequential scan × 10 edges ≈ 5 ms on a
+     v5e for no measurable accuracy gain — exact repropagation still
+     happens where it matters: at initialization);
   2. ingest the newest frame's tracked features (slot F-1);
   3. keyframe decision by compensated parallax (feature_manager.cpp:103);
   4. dead-reckon an initial guess for the newest state (VINS.cpp:359-370);
@@ -45,6 +47,7 @@ class BackendState(NamedTuple):
     window: WindowState
     feats: FeatureTable
     chunks: pre_mod.ImuChunk      # stacked [W, N] raw IMU per edge
+    preints: pre_mod.Preintegration  # stacked [W] — propagated once per edge
     prior: PriorFactor
     last_is_kf: jax.Array         # [] bool — last frame's keyframe flag
     failure: jax.Array            # [] bool
@@ -52,19 +55,36 @@ class BackendState(NamedTuple):
     @staticmethod
     def fresh(cfg: VinsConfig) -> "BackendState":
         F = cfg.window.num_frames
-        M = cfg.frontend.max_features
+        M = cfg.window.max_landmarks
         N = cfg.window.max_imu_per_edge
         W = F - 1
+        chunks = jax.tree.map(
+            lambda x: jnp.tile(x[None], (W,) + (1,) * x.ndim),
+            pre_mod.ImuChunk.empty(N))
+        preints = jax.vmap(lambda c: pre_mod.propagate(
+            c, jnp.zeros(3), jnp.zeros(3), cfg.imu))(chunks)
         return BackendState(
             window=WindowState.identity(F, M),
             feats=FeatureTable.empty(F, M),
-            chunks=jax.tree.map(
-                lambda x: jnp.tile(x[None], (W,) + (1,) * x.ndim),
-                pre_mod.ImuChunk.empty(N)),
+            chunks=chunks,
+            preints=preints,
             prior=PriorFactor.empty(F),
             last_is_kf=jnp.asarray(True),
             failure=jnp.asarray(False),
         )
+
+    @staticmethod
+    def bootstrap(cfg: VinsConfig, window: WindowState, feats: FeatureTable,
+                  chunks: pre_mod.ImuChunk) -> "BackendState":
+        """Build a ready state from a known window, propagating every
+        edge's preintegration at the window's bias estimates."""
+        W = cfg.window.num_frames - 1
+        preints = jax.vmap(
+            lambda c, ba, bg: pre_mod.propagate(c, ba, bg, cfg.imu)
+        )(chunks, window.ba[:W], window.bg[:W])
+        fresh = BackendState.fresh(cfg)
+        return fresh._replace(window=window, feats=feats, chunks=chunks,
+                              preints=preints)
 
 
 class FrameInput(NamedTuple):
@@ -135,9 +155,18 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
     W = F - 1
     focal = cfg.camera.focal
 
-    # 1. Newest edge gets the incoming chunk.
+    # 1. Newest edge gets the incoming chunk; propagate ONLY that edge
+    #    (the reference likewise preintegrates each edge once —
+    #    integration_base.h:39-45 — and handles bias drift to first order
+    #    through the propagated Jacobian in the residual; re-propagating
+    #    all 10 edges every frame costs 5 ms of sequential scan for no
+    #    measurable accuracy gain).
     chunks = jax.tree.map(
         lambda all_, new: all_.at[W - 1].set(new), est.chunks, inp.chunk)
+    pre_new = pre_mod.propagate(inp.chunk, est.window.ba[F - 2],
+                                est.window.bg[F - 2], cfg.imu)
+    preints = jax.tree.map(
+        lambda all_, new: all_.at[W - 1].set(new), est.preints, pre_new)
 
     # 2. Ingest features into slot F-1.
     feats = fm.ingest_frame(est.feats, jnp.asarray(F - 1), inp.ids, inp.obs,
@@ -160,10 +189,7 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
     # 5. Triangulate new landmarks.
     win = fm.triangulate(win, feats, ext, cfg)
 
-    # 6. Repropagate all edges at current biases, then solve.
-    preints = jax.vmap(
-        lambda c, ba, bg: pre_mod.propagate(c, ba, bg, cfg.imu)
-    )(chunks, win.ba[:W], win.bg[:W])
+    # 6. Solve (preintegrations carry first-order bias correction).
     prob = WindowProblem(
         feats=feats, preints=preints, prior=est.prior, ext=ext,
         gravity=gravity, sqrt_info_proj=jnp.asarray(focal / 1.5),
@@ -200,7 +226,9 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
         chunks_new = jax.tree.map(
             lambda c: jnp.concatenate([c[1:], jnp.zeros_like(c[:1])], 0),
             chunks)
-        return win_new, feats_new, chunks_new, prior_new
+        preints_new = jax.tree.map(
+            lambda p: jnp.concatenate([p[1:], p[-1:]], 0), preints)
+        return win_new, feats_new, chunks_new, preints_new, prior_new
 
     def do_new(_):
         prior_new = marg.marginalize_second_new(solved, est.prior, cfg)
@@ -212,14 +240,21 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
         chunks_new = jax.tree.map(
             lambda c, m: c.at[W - 2].set(m).at[W - 1].set(jnp.zeros_like(c[W - 1])),
             chunks, merged)
-        return win_new, feats_new, chunks_new, prior_new
+        # The merged edge spans what was W-2's interval plus the new one:
+        # propagate it once at W-2's linearization bias.
+        pre_merged = pre_mod.propagate(
+            merged, preints.linearized_ba[W - 2],
+            preints.linearized_bg[W - 2], cfg.imu)
+        preints_new = jax.tree.map(
+            lambda p, m: p.at[W - 2].set(m), preints, pre_merged)
+        return win_new, feats_new, chunks_new, preints_new, prior_new
 
-    win2, feats2, chunks2, prior2 = jax.lax.cond(is_kf, do_old, do_new,
-                                                 operand=None)
+    win2, feats2, chunks2, preints2, prior2 = jax.lax.cond(
+        is_kf, do_old, do_new, operand=None)
 
     new_est = BackendState(
-        window=win2, feats=feats2, chunks=chunks2, prior=prior2,
-        last_is_kf=is_kf, failure=fail)
+        window=win2, feats=feats2, chunks=chunks2, preints=preints2,
+        prior=prior2, last_is_kf=is_kf, failure=fail)
     return new_est, out
 
 
@@ -243,8 +278,7 @@ class VinsEstimator:
 
     def bootstrap(self, window: WindowState, feats: FeatureTable,
                   chunks: pre_mod.ImuChunk):
-        self.state = self.state._replace(window=window, feats=feats,
-                                         chunks=chunks)
+        self.state = BackendState.bootstrap(self.cfg, window, feats, chunks)
         self.initialized = True
 
     def process_frame(self, inp: FrameInput) -> BackendOutput:

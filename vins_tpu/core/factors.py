@@ -51,15 +51,17 @@ def imu_residual_whitened(pre: pre_mod.Preintegration,
 
 
 def imu_factor_local(pre: pre_mod.Preintegration, state: WindowState,
-                     edge_i: jax.Array, gravity: jax.Array):
+                     edge_i: jax.Array, gravity: jax.Array, S=None):
     """Residual+Jacobian of one IMU edge wrt the 30-dim tangent of its two
-    frames. Returns (r [15], J [15, 30])."""
+    frames. Returns (r [15], J [15, 30]). Pass a precomputed whitening S
+    when linearizing repeatedly (it only depends on the preintegration)."""
     p_i, q_i = state.p[edge_i], state.q[edge_i]
     v_i, ba_i, bg_i = state.v[edge_i], state.ba[edge_i], state.bg[edge_i]
     j = edge_i + 1
     p_j, q_j = state.p[j], state.q[j]
     v_j, ba_j, bg_j = state.v[j], state.ba[j], state.bg[j]
-    S = pre_mod.sqrt_information(pre)
+    if S is None:
+        S = pre_mod.sqrt_information(pre)
 
     def local(delta):
         di, dj = delta[:15], delta[15:]

@@ -140,8 +140,12 @@ def triangulate(state: WindowState, feats: FeatureTable, ext: Extrinsics,
     A = jnp.concatenate([row0, row1], axis=0)             # [2F, M, 4]
     A = jnp.moveaxis(A, 1, 0)                             # [M, 2F, 4]
 
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
-    X = Vt[:, -1, :]                                      # [M, 4]
+    # Smallest right-singular vector of A == eigenvector of AᵀA [4,4] with
+    # the smallest eigenvalue — a batched 4×4 eigh is far cheaper on TPU
+    # than an SVD of [M, 2F, 4].
+    AtA = jnp.einsum("mra,mrb->mab", A, A)
+    _, V = jnp.linalg.eigh(AtA)                           # ascending eigvals
+    X = V[:, :, 0]                                        # [M, 4]
     depth = X[:, 2] / jnp.where(jnp.abs(X[:, 3]) < 1e-12,
                                 jnp.sign(X[:, 3]) * 1e-12 + 1e-15, X[:, 3])
     depth = jnp.where(depth < 0.1, cfg.window.init_depth, depth)

@@ -41,16 +41,38 @@ def _eig_clamped_pinv(A: jax.Array, eps: float) -> jax.Array:
     return (V * w_inv[None, :]) @ V.T
 
 
-def _info_to_sqrt(H: jax.Array, g: jax.Array, eps: float):
-    """(H, g) → (J0, r0) with J0ᵀJ0 = H, J0ᵀ r0 = g, via the eigen-sqrt
-    (reference marginalization_factor.cpp:286-294)."""
-    w, V = jnp.linalg.eigh(0.5 * (H + H.T))
-    keep = w > eps
-    s = jnp.sqrt(jnp.where(keep, w, 1.0))
-    s_inv = jnp.where(keep, 1.0 / s, 0.0)
-    s = jnp.where(keep, s, 0.0)
-    J0 = s[:, None] * V.T
-    r0 = (s_inv[:, None] * V.T) @ g
+def _info_to_sqrt(H: jax.Array, g: jax.Array, eps: float,
+                  method: str = "chol"):
+    """(H, g) → (J0, r0) with J0ᵀJ0 ≈ H, J0ᵀ r0 = g.
+
+    method="eigh" is the reference's eigen-sqrt with eigenvalue clamping
+    (marginalization_factor.cpp:286-294). method="chol" factorizes
+    H + eps·I = L Lᵀ instead: J0 = Lᵀ, r0 = L⁻¹ g. The ridge turns exact
+    null directions (gauge) into a √eps-weak pull toward the
+    linearization point — numerically equivalent to clamping at this eps
+    — while replacing an O(n³) iterative eigensolve (milliseconds on TPU
+    for n=150) with one Cholesky (microseconds).
+    """
+    Hs = 0.5 * (H + H.T)
+    if method == "eigh":
+        w, V = jnp.linalg.eigh(Hs)
+        keep = w > eps
+        s = jnp.sqrt(jnp.where(keep, w, 1.0))
+        s_inv = jnp.where(keep, 1.0 / s, 0.0)
+        s = jnp.where(keep, s, 0.0)
+        J0 = s[:, None] * V.T
+        r0 = (s_inv[:, None] * V.T) @ g
+        return J0, r0
+    n = Hs.shape[0]
+    I = jnp.eye(n, dtype=Hs.dtype)
+    # Relative ridge: fp32 round-off on a matrix with entries ~d scales
+    # like 1e-7·d, so the ridge must track the diagonal magnitude.
+    ridge = eps + 1e-6 * jnp.max(jnp.abs(jnp.diagonal(Hs)))
+    L = jnp.linalg.cholesky(Hs + ridge * I)
+    ok = jnp.all(jnp.isfinite(L))
+    L = jnp.where(ok, L, jnp.linalg.cholesky(Hs + (100.0 * ridge) * I))
+    J0 = L.T
+    r0 = jax.scipy.linalg.solve_triangular(L, g, lower=True)
     return J0, r0
 
 
@@ -81,12 +103,18 @@ def marginalize_old(state: WindowState, prob: WindowProblem,
     H = H.at[0:30, 0:30].add(J_i.T @ J_i)
     g = g.at[0:30].add(J_i.T @ r_i)
 
-    # Projection factors anchored at frame 0 (VINS.cpp:728-751).
-    fj = jnp.repeat(jnp.arange(F, dtype=jnp.int32), M)
-    mm = jnp.tile(jnp.arange(M, dtype=jnp.int32), F)
-    anchored0 = (feats.anchor[mm] == 0)
-    w_valid = (feats.valid[mm] & anchored0 & feats.mask[fj, mm]
-               & feats.mask[0, mm] & (fj != 0)).astype(dtype)
+    # Projection factors anchored at frame 0 (VINS.cpp:728-751),
+    # compacted into the same fixed factor budget as the solver.
+    fj_g = jnp.repeat(jnp.arange(F, dtype=jnp.int32), M)
+    mm_g = jnp.tile(jnp.arange(M, dtype=jnp.int32), F)
+    anchored0 = (feats.anchor[mm_g] == 0)
+    w_grid = (feats.valid[mm_g] & anchored0 & feats.mask[fj_g, mm_g]
+              & feats.mask[0, mm_g] & (fj_g != 0))
+    K = min(cfg.solver.max_proj_factors, F * M)
+    order = jnp.argsort(~w_grid, stable=True)[:K]
+    fj = fj_g[order]
+    mm = mm_g[order]
+    w_valid = w_grid[order].astype(dtype)
 
     def proj_one(k):
         return projection_factor_local(
@@ -94,7 +122,6 @@ def marginalize_old(state: WindowState, prob: WindowProblem,
             state.p[0], state.q[0], state.p[fj[k]], state.q[fj[k]],
             state.inv_depth[mm[k]], prob.ext, prob.sqrt_info_proj)
 
-    K = F * M
     r_pr, J_pr = jax.vmap(proj_one)(jnp.arange(K))  # [K,2], [K,2,13]
     w_rob = cauchy_weight(r_pr, cfg.solver.cauchy_c) * w_valid[:, None]
     r_pr = r_pr * w_rob
@@ -124,7 +151,8 @@ def marginalize_old(state: WindowState, prob: WindowProblem,
     g_keep = g_pose[15:] - Arm @ Amm_inv @ g_pose[:15]
 
     # --- Re-factorize to (J0, r0), shift indexing ------------------------
-    J0s, r0s = _info_to_sqrt(H_keep, g_keep, cfg.solver.eig_eps)  # [D-15,...]
+    J0s, r0s = _info_to_sqrt(H_keep, g_keep, cfg.solver.eig_eps,
+                             cfg.solver.marg_sqrt)  # [D-15,...]
     J0 = jnp.zeros((D, D), dtype).at[:D - 15, :D - 15].set(J0s)
     r0 = jnp.zeros((D,), dtype).at[:D - 15].set(r0s)
 
@@ -170,7 +198,8 @@ def marginalize_second_new(state: WindowState, prior: PriorFactor,
     H_keep = Arr - Arm @ Amm_inv @ Arm.T
     g_keep = g[keep] - Arm @ Amm_inv @ g[drop]
 
-    J0k, r0k = _info_to_sqrt(H_keep, g_keep, cfg.solver.eig_eps)
+    J0k, r0k = _info_to_sqrt(H_keep, g_keep, cfg.solver.eig_eps,
+                             cfg.solver.marg_sqrt)
     # Scatter back: kept dims stay at their positions; dropped pose dims
     # become zero rows/cols.
     J0 = jnp.zeros((D, D), dtype)

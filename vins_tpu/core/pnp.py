@@ -89,9 +89,8 @@ def _perspective_local(pt_w, obs, p, q, ext: Extrinsics, sqrt_info):
     return local(zero), jax.jacfwd(local)(zero)
 
 
-def _imu_local(pre, st: PnpState, e, gravity):
+def _imu_local(pre, st: PnpState, e, gravity, S_info):
     """(r [15], J [15,30]) of IMU edge e wrt both frames' tangents."""
-    S_info = pre_mod.sqrt_information(pre)
 
     def local(delta):
         di, dj = delta[:15], delta[15:]
@@ -125,6 +124,7 @@ def solve_pnp_window(win: PnpWindow, cfg: VinsConfig, ext: Extrinsics,
     preints = jax.vmap(
         lambda c, ba, bg: pre_mod.propagate(c, ba, bg, cfg.imu)
     )(win.chunks, st0.ba[:W], st0.bg[:W])
+    S_all = jax.vmap(pre_mod.sqrt_information)(preints)
 
     fgrid = jnp.repeat(jnp.arange(S, dtype=jnp.int32), Mp)   # [S*Mp]
     mgrid = jnp.tile(jnp.arange(Mp, dtype=jnp.int32), S)
@@ -133,7 +133,7 @@ def solve_pnp_window(win: PnpWindow, cfg: VinsConfig, ext: Extrinsics,
         # IMU rows.
         r_imu, J_imu = jax.vmap(
             lambda e: _imu_local(jax.tree.map(lambda x: x[e], preints),
-                                 st, e, gravity))(jnp.arange(W))
+                                 st, e, gravity, S_all[e]))(jnp.arange(W))
         col_scale = jnp.concatenate([
             jnp.repeat(free[:W, None], 15, 1),
             jnp.repeat(free[1:, None], 15, 1)], axis=1)      # [W,30]

@@ -65,6 +65,31 @@ def _proj_grid_indices(F: int, M: int):
     return fj, mm
 
 
+class ProjSelection(NamedTuple):
+    """Compacted active projection factors (fixed budget P).
+
+    The F×M grid is mostly empty (~70 tracked features in 256 slots);
+    evaluating residual/Jacobian per grid cell scales with M. Instead the
+    valid cells are compacted once per solve into P slots — the factor
+    count the reference bounds with NUM_OF_F (global_param.hpp:37).
+    """
+
+    fj: jax.Array   # [P] observing frame
+    mm: jax.Array   # [P] landmark slot
+    w: jax.Array    # [P] 1.0 active / 0.0 padding (or overflow-dropped)
+
+
+def select_proj_factors(prob: WindowProblem, P: int) -> ProjSelection:
+    F, M = prob.feats.mask.shape
+    P = min(P, F * M)
+    fj, mm = _proj_grid_indices(F, M)
+    w_valid = _proj_factor_mask(prob, fj, mm)              # [F*M]
+    # Valid cells first, stable (keeps frame-major order within a track).
+    order = jnp.argsort(~w_valid.astype(bool), stable=True)[:P]
+    w = w_valid[order]
+    return ProjSelection(fj=fj[order], mm=mm[order], w=w)
+
+
 def _proj_factor_mask(prob: WindowProblem, fj, mm) -> jax.Array:
     feats = prob.feats
     a = feats.anchor[mm]
@@ -77,8 +102,10 @@ def _proj_factor_mask(prob: WindowProblem, fj, mm) -> jax.Array:
 
 
 def _residuals_only(state: WindowState, prob: WindowProblem,
-                    cfg: VinsConfig):
-    """Cheap robust-cost evaluation (no Jacobians) for LM accept tests."""
+                    cfg: VinsConfig, S_imu: jax.Array,
+                    sel: ProjSelection):
+    """Cheap robust-cost evaluation (no Jacobians) for LM accept tests.
+    S_imu: [W,15,15] precomputed whitening; sel: compacted factors."""
     F, M = prob.feats.mask.shape
     dtype = state.p.dtype
 
@@ -89,20 +116,19 @@ def _residuals_only(state: WindowState, prob: WindowProblem,
 
     # IMU edges.
     def imu_r(e):
-        S = pre_mod.sqrt_information(jax.tree.map(lambda x: x[e], prob.preints))
         r = pre_mod.evaluate(
             jax.tree.map(lambda x: x[e], prob.preints),
             state.p[e], state.q[e], state.v[e], state.ba[e], state.bg[e],
             state.p[e + 1], state.q[e + 1], state.v[e + 1],
             state.ba[e + 1], state.bg[e + 1], prob.gravity)
-        return S @ r
+        return S_imu[e] @ r
 
     r_imu = jax.vmap(imu_r)(jnp.arange(F - 1))
     cost += 0.5 * jnp.sum(r_imu * r_imu)
 
-    # Projection grid.
-    fj, mm = _proj_grid_indices(F, M)
-    w_valid = _proj_factor_mask(prob, fj, mm)
+    # Compacted projection factors.
+    fj, mm, w_valid = sel.fj, sel.mm, sel.w
+    P = fj.shape[0]
     a = prob.feats.anchor[mm]
 
     def proj_r(k):
@@ -112,19 +138,20 @@ def _residuals_only(state: WindowState, prob: WindowProblem,
             state.inv_depth[mm[k]], prob.ext)
         return prob.sqrt_info_proj * r
 
-    r_proj = jax.vmap(proj_r)(jnp.arange(F * M)) * w_valid[:, None]
+    r_proj = jax.vmap(proj_r)(jnp.arange(P)) * w_valid[:, None]
     s = jnp.sum(r_proj * r_proj, axis=-1)
     cost += 0.5 * jnp.sum(cauchy_rho(s, cfg.solver.cauchy_c) * w_valid)
     return cost, (r_prior, r_imu, r_proj, w_valid)
 
 
-def _linearize(state: WindowState, prob: WindowProblem, cfg: VinsConfig):
+def _linearize(state: WindowState, prob: WindowProblem, cfg: VinsConfig,
+               S_imu: jax.Array, sel: ProjSelection):
     """Build the dense whitened Jacobian J [R, D_c+M] and residual r [R]."""
     F, M = prob.feats.mask.shape
     dtype = state.p.dtype
     D_c = 15 * F
     W = F - 1
-    K = F * M
+    K = sel.fj.shape[0]
     R_rows = D_c + 15 * W + 2 * K
 
     J = jnp.zeros((R_rows, D_c + M), dtype)
@@ -139,7 +166,8 @@ def _linearize(state: WindowState, prob: WindowProblem, cfg: VinsConfig):
     # ---- IMU rows [D_c, D_c + 15W) -------------------------------------
     def imu_one(e):
         return imu_factor_local(
-            jax.tree.map(lambda x: x[e], prob.preints), state, e, prob.gravity)
+            jax.tree.map(lambda x: x[e], prob.preints), state, e,
+            prob.gravity, S=S_imu[e])
 
     r_imu, J_imu = jax.vmap(imu_one)(jnp.arange(W))      # [W,15], [W,15,30]
     # Freeze masking: columns of frozen frames are zeroed.
@@ -155,8 +183,7 @@ def _linearize(state: WindowState, prob: WindowProblem, cfg: VinsConfig):
     r = r.at[rows_imu].set(r_imu)
 
     # ---- Projection rows [D_c + 15W, end) ------------------------------
-    fj, mm = _proj_grid_indices(F, M)
-    w_valid = _proj_factor_mask(prob, fj, mm)            # [K]
+    fj, mm, w_valid = sel.fj, sel.mm, sel.w              # [K]
     a = prob.feats.anchor[mm]
 
     def proj_one(k):
@@ -243,23 +270,29 @@ def solve_window(state: WindowState, prob: WindowProblem,
     dtype = state.p.dtype
     sc = cfg.solver
 
-    fj, mm = _proj_grid_indices(F, M)
-    w_valid = _proj_factor_mask(prob, fj, mm)
+    # Compact the active projection factors once per solve (the feature
+    # table is constant during the LM loop).
+    sel = select_proj_factors(prob, cfg.solver.max_proj_factors)
     # A landmark column is active if it appears in >=1 valid factor.
     landmark_active = (
-        jax.ops.segment_sum(w_valid, mm, num_segments=M) > 0
+        jax.ops.segment_sum(sel.w, sel.mm, num_segments=M) > 0
     ).astype(dtype)
 
-    cost0, _ = _residuals_only(state, prob, cfg)
+    # Whitening depends only on the preintegrations: compute once, not in
+    # every linearize/cost call (10 × 15×15 inverse+Cholesky per call).
+    S_imu = jax.vmap(pre_mod.sqrt_information)(prob.preints)
+
+    cost0, _ = _residuals_only(state, prob, cfg, S_imu, sel)
 
     def lm_iter(carry, _):
         st, lam, cost, accepted = carry
-        J, r, cost_lin, vis_cost, vis_num = _linearize(st, prob, cfg)
+        J, r, cost_lin, vis_cost, vis_num = _linearize(st, prob, cfg, S_imu,
+                                                       sel)
         dx_c, dx_l = _schur_solve(J, r, lam, D_c, landmark_active)
         dx_l = dx_l * landmark_active
         cand = retract_window(st, dx_c * jnp.repeat(prob.frame_free, 15),
                               dx_l)
-        new_cost, _ = _residuals_only(cand, prob, cfg)
+        new_cost, _ = _residuals_only(cand, prob, cfg, S_imu, sel)
         good = jnp.isfinite(new_cost) & (new_cost < cost)
         st = jax.tree.map(
             lambda a, b: jnp.where(good, b, a), st, cand)

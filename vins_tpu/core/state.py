@@ -8,7 +8,7 @@ masks, making every stage jittable, batchable, and shardable.
 
 Shapes use:
   F = window frames (cfg.window.num_frames, 11)
-  M = feature slots (cfg.frontend.max_features, 128)
+  M = landmark slots (cfg.window.max_landmarks, 256)
 """
 from __future__ import annotations
 

@@ -68,7 +68,7 @@ def make_synthetic_window(
     rng = np.random.default_rng(seed)
     F = cfg.window.num_frames
     W = F - 1
-    M = cfg.frontend.max_features
+    M = cfg.window.max_landmarks
     N = cfg.window.max_imu_per_edge
     g_mag = cfg.imu.gravity
     gravity = np.array([0.0, 0.0, g_mag])
