@@ -137,6 +137,31 @@ def find_ground_plane(pts_w: np.ndarray, valid: np.ndarray,
     return best
 
 
+def draw_ground_mesh(img: np.ndarray, R_wc: np.ndarray, t_wc: np.ndarray,
+                     fx, fy, cx, cy, pts_w: np.ndarray, normal: np.ndarray,
+                     d: float, color=(0.15, 0.8, 0.3),
+                     thresh: float = 0.05) -> np.ndarray:
+    """Shade the detected ground plane with a Delaunay mesh of its inliers
+    (reference DrawResult::drawGround draw_result.cpp:369-403 over the
+    vendored triangulator delaunay/delaunay.cpp)."""
+    from .delaunay import triangulate_ground
+
+    if img.ndim == 2:
+        out = np.repeat(img[:, :, None], 3, axis=2).astype(np.float32)
+    else:
+        out = img.astype(np.float32).copy()
+    inl, tris = triangulate_ground(pts_w, normal, d, thresh)
+    if not tris:
+        return out
+    uv, ok = project_points(inl, R_wc, t_wc, fx, fy, cx, cy)
+    for a, b, c in tris:
+        if ok[a] and ok[b] and ok[c]:
+            _fill_poly(out, uv[[a, b, c]], color, alpha=0.25)
+            for e0, e1 in ((a, b), (b, c), (c, a)):
+                _draw_line(out, uv[e0], uv[e1], color, thickness=1)
+    return out
+
+
 def draw_ar_overlay(img: np.ndarray, R_wc: np.ndarray, t_wc: np.ndarray,
                     fx, fy, cx, cy,
                     box_center_w: np.ndarray, box_size: float = 0.3,
