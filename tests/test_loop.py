@@ -9,6 +9,7 @@ from vins_tpu.config import LoopConfig
 from vins_tpu.io import synthetic
 from vins_tpu.loop import LoopCloser, PoseGraph, drift_from_solution, \
     optimize_pose_graph
+from vins_tpu.loop import keyframe_db
 from vins_tpu.ops import brief as brief_mod
 from vins_tpu.utils import lie
 
@@ -169,3 +170,55 @@ def _raycast_world(seq, cfg, pts_px, f, wall_radius=8.0, floor_z=-2.0,
     t_hit = np.minimum(np.minimum(t_cyl, t_flo), t_cei)
     X = o + d * t_hit[:, None]
     return X.astype(np.float32), np.isfinite(t_hit)
+
+
+def test_keyframe_db_resample_compacts_and_protects():
+    """When full, the DB decimates spatially-redundant keyframes
+    (reference keyfame_database.cpp:44-76) while protecting loop-edge
+    endpoints and the recent window, and remaps loop edges."""
+    cfg = default_config().replace(loop=LoopConfig(
+        max_keyframes=32, dislocal=4, max_kf_features=8))
+    lc = LoopCloser(cfg)
+    K = cfg.loop.max_keyframes
+    Nf = cfg.loop.max_kf_features
+
+    # Fill the DB directly (bypassing image feature extraction).
+    rng = np.random.default_rng(0)
+    for i in range(K):
+        p = jnp.asarray([i * 0.05, 0.0, 0.0], jnp.float32)  # dense line
+        lc.db = keyframe_db._add_row(
+            lc.db, jnp.asarray(i), p, lie.quat_identity(),
+            jnp.asarray(rng.normal(size=1024), jnp.float32),
+            jnp.zeros((Nf, 8), jnp.uint32), jnp.zeros((Nf, 2), jnp.float32),
+            jnp.zeros((Nf, 2), jnp.float32), jnp.zeros((Nf, 3), jnp.float32),
+            jnp.zeros((Nf,), bool), jnp.zeros((Nf,), bool),
+            jnp.asarray(0, jnp.int32))
+        lc.graph = lc.graph._replace(
+            t=lc.graph.t.at[i].set(p),
+            node_ok=lc.graph.node_ok.at[i].set(True))
+    # One loop edge between 3 and 20.
+    lc.graph = lc.graph._replace(
+        loop_i=lc.graph.loop_i.at[0].set(3),
+        loop_j=lc.graph.loop_j.at[0].set(20),
+        loop_w=lc.graph.loop_w.at[0].set(1.0))
+    lc.n_loops = 1
+
+    p3 = np.asarray(lc.db.p[3]).copy()
+    p20 = np.asarray(lc.db.p[20]).copy()
+    lc.resample()
+    m = int(lc.db.count)
+    assert m < K and m >= K - K // 2  # freed some but kept most-protected
+    # Loop endpoints survived at remapped indices with identical poses.
+    li = int(lc.graph.loop_i[0])
+    lj = int(lc.graph.loop_j[0])
+    np.testing.assert_allclose(np.asarray(lc.db.p[li]), p3)
+    np.testing.assert_allclose(np.asarray(lc.db.p[lj]), p20)
+    # Insertion works again without raising.
+    img = jnp.asarray(np.zeros((cfg.camera.height, cfg.camera.width),
+                               np.float32))
+    Mw = 4
+    idx = lc.add_keyframe(
+        img, jnp.zeros(3, jnp.float32), lie.quat_identity(),
+        jnp.zeros((Mw, 2), jnp.float32), jnp.zeros((Mw,), bool),
+        jnp.zeros((Mw, 3), jnp.float32), jnp.zeros((Mw,), bool))
+    assert idx == m

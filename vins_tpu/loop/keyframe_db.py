@@ -231,7 +231,8 @@ class LoopCloser:
         idx = int(self.db.count)
         K = self.db.p.shape[0]
         if idx >= K:
-            raise RuntimeError("keyframe database full; resampling TBD")
+            self.resample()
+            idx = int(self.db.count)
 
         Mw = window_pts_px.shape[0]
         pts_px, kp_ok, desc = extract_keyframe_features(
@@ -367,3 +368,78 @@ class LoopCloser:
         """Failure recovery: later keyframes are a new trajectory segment
         (ViewController.mm:771-781)."""
         self.segment += 1
+
+    # -- capacity ----------------------------------------------------------
+
+    def resample(self):
+        """Distance-based keyframe decimation when the database is full
+        (reference KeyFrameDatabase::resample, keyfame_database.cpp:44-76):
+        drop keyframes spatially closest to their predecessor, protecting
+        loop-edge endpoints and the most recent `dislocal` frames, then
+        compact every array and remap loop-edge indices."""
+        n = int(self.db.count)
+        K = self.db.p.shape[0]
+        p = np.asarray(self.db.p[:n])
+
+        protected = np.zeros(n, bool)
+        protected[max(0, n - self.cfg.loop.dislocal):] = True
+        protected[0] = True
+        li = np.asarray(self.graph.loop_i[:self.n_loops])
+        lj = np.asarray(self.graph.loop_j[:self.n_loops])
+        protected[li[li < n]] = True
+        protected[lj[lj < n]] = True
+
+        # Greedy spatial decimation: walk the trajectory, keep a frame if
+        # it is far enough from the last kept one; raise the distance
+        # threshold until at least 1/4 of the slots are free.
+        seg_len = np.linalg.norm(np.diff(p, axis=0), axis=1)
+        min_dist = max(float(np.median(seg_len)) * 2.0, 1e-3)
+        keep = np.ones(n, bool)
+        target_free = K // 4
+        for _ in range(8):
+            keep = protected.copy()
+            last = p[0]
+            for i in range(1, n):
+                if protected[i]:
+                    last = p[i]
+                    continue
+                if np.linalg.norm(p[i] - last) >= min_dist:
+                    keep[i] = True
+                    last = p[i]
+            if (n - keep.sum()) >= target_free:
+                break
+            min_dist *= 1.6
+        if (n - keep.sum()) < 1:
+            # Everything protected (pathological); drop oldest unprotected.
+            keep = protected.copy()
+
+        old_idx = np.where(keep)[0]
+        m = len(old_idx)
+        remap = -np.ones(n, np.int64)
+        remap[old_idx] = np.arange(m)
+
+        def compact(a):
+            a_np = np.asarray(a)
+            out = np.zeros_like(a_np)
+            out[:m] = a_np[old_idx]
+            return jnp.asarray(out)
+
+        self.db = KeyframeDB(
+            count=jnp.asarray(m, jnp.int32),
+            **{f: compact(getattr(self.db, f))
+               for f in KeyframeDB._fields if f != "count"})
+        g = self.graph
+        self.graph = g._replace(
+            t=compact(g.t), yaw=compact(g.yaw), pitch=compact(g.pitch),
+            roll=compact(g.roll), node_ok=compact(g.node_ok),
+            loop_i=jnp.asarray(np.where(
+                np.asarray(g.loop_i) < n,
+                remap[np.clip(np.asarray(g.loop_i), 0, n - 1)],
+                np.asarray(g.loop_i)).astype(np.int32)),
+            loop_j=jnp.asarray(np.where(
+                np.asarray(g.loop_j) < n,
+                remap[np.clip(np.asarray(g.loop_j), 0, n - 1)],
+                np.asarray(g.loop_j)).astype(np.int32)))
+        if self.last_match is not None:
+            nm = remap[self.last_match] if self.last_match < n else -1
+            self.last_match = int(nm) if nm >= 0 else None

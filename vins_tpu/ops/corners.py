@@ -17,17 +17,17 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .image import sobel_gradients, _sep_conv
+from .image import sobel_gradients, _sep_filter
 
 
 def shi_tomasi_response(img: jax.Array, block: int = 3) -> jax.Array:
     """Min-eigenvalue of the structure tensor (cv::goodFeaturesToTrack's
     quality measure)."""
     gx, gy = sobel_gradients(img)
-    k = jnp.ones(block, img.dtype) / block
-    gxx = _sep_conv(gx * gx, k)
-    gyy = _sep_conv(gy * gy, k)
-    gxy = _sep_conv(gx * gy, k)
+    k = (1.0 / block,) * block
+    gxx = _sep_filter(gx * gx, k)
+    gyy = _sep_filter(gy * gy, k)
+    gxy = _sep_filter(gx * gy, k)
     tr = gxx + gyy
     det = gxx * gyy - gxy * gxy
     return 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))

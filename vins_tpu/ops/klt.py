@@ -22,6 +22,12 @@ from ..config import FrontendConfig
 from .image import bilinear_sample, build_pyramid, sobel_gradients
 
 
+def _on_tpu() -> bool:
+    """Pallas kernel dispatch: TPU gets the VMEM-resident kernels
+    (ops/klt_pallas.py), other platforms the pure-XLA formulation."""
+    return jax.default_backend() == "tpu"
+
+
 class KltResult(NamedTuple):
     pts: jax.Array      # [M, 2] tracked positions (level-0 pixels)
     status: jax.Array   # [M] bool
@@ -113,12 +119,21 @@ def track_pyramid(pyr_prev: List[jax.Array], pyr_next: List[jax.Array],
             else init_flow / (2.0 ** (L - 1)))
     ok = valid
     err = jnp.zeros(pts_prev.shape[0], dtype)
+    use_pallas = _on_tpu()
     for lvl in range(L - 1, -1, -1):
         scale = jnp.asarray(2.0 ** lvl, dtype)
         pts_l = pts_prev / scale
-        flow, ok, err = _track_level(
-            pyr_prev[lvl], grads[lvl][0], grads[lvl][1], pyr_next[lvl],
-            pts_l, flow, ok, cfg)
+        if use_pallas:
+            from .klt_pallas import track_level_pallas
+
+            flow, lvl_ok, err = track_level_pallas(
+                pyr_prev[lvl], grads[lvl][0], grads[lvl][1], pyr_next[lvl],
+                pts_l, flow, ok, cfg.klt_window, cfg.klt_iters, cfg.klt_eps)
+            ok = ok & lvl_ok
+        else:
+            flow, ok, err = _track_level(
+                pyr_prev[lvl], grads[lvl][0], grads[lvl][1], pyr_next[lvl],
+                pts_l, flow, ok, cfg)
         if lvl > 0:
             flow = flow * 2.0
 
@@ -157,14 +172,20 @@ def track_pyramid_fb(pyr_prev: List[jax.Array], pyr_next: List[jax.Array],
     # mismatch detector (catches symmetric false locks FB can miss).
     r = (cfg.klt_window - 1) / 2.0
 
-    def ncc_one(pa, pb):
-        ta = _extract_patch(pyr_prev[0], pa - r, cfg.klt_window)
-        tb = _extract_patch(pyr_next[0], pb - r, cfg.klt_window)
-        ta = ta - jnp.mean(ta)
-        tb = tb - jnp.mean(tb)
-        return jnp.sum(ta * tb) * jax.lax.rsqrt(
-            jnp.sum(ta * ta) * jnp.sum(tb * tb) + 1e-12)
+    if _on_tpu():
+        from .klt_pallas import patch_ncc_pallas
 
-    ncc = jax.vmap(ncc_one)(pts_prev, fwd.pts)
+        ncc = patch_ncc_pallas(pyr_prev[0], pyr_next[0], pts_prev, fwd.pts,
+                               cfg.klt_window)
+    else:
+        def ncc_one(pa, pb):
+            ta = _extract_patch(pyr_prev[0], pa - r, cfg.klt_window)
+            tb = _extract_patch(pyr_next[0], pb - r, cfg.klt_window)
+            ta = ta - jnp.mean(ta)
+            tb = tb - jnp.mean(tb)
+            return jnp.sum(ta * tb) * jax.lax.rsqrt(
+                jnp.sum(ta * ta) * jnp.sum(tb * tb) + 1e-12)
+
+        ncc = jax.vmap(ncc_one)(pts_prev, fwd.pts)
     ok = fwd.status & bwd.status & (rt < fb_thresh) & (ncc > 0.5)
     return KltResult(pts=fwd.pts, status=ok, err=rt)

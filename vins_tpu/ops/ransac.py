@@ -35,18 +35,25 @@ def _normalize_points(pts: jax.Array, valid: jax.Array):
     return pn, T
 
 
+def _rank2_project(F: jax.Array) -> jax.Array:
+    """Nearest rank-2 matrix (zero the smallest singular value)."""
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[2].set(0.0)
+    return U @ jnp.diag(S) @ Vt
+
+
 def _eight_point(p1: jax.Array, p2: jax.Array) -> jax.Array:
     """Fit F (or E) from 8 correspondences via the linear 8-point system.
-    p1, p2: [8, 2]. Returns [3,3] with rank-2 enforcement."""
+    p1, p2: [8, 2]. Returns [3,3] WITHOUT rank-2 enforcement — Sampson
+    scoring does not need it, so RANSAC projects only the winning
+    hypothesis (batched 3x3 SVD measured 50x slower than the [8,9]
+    null-vector SVD on TPU)."""
     x1, y1 = p1[:, 0], p1[:, 1]
     x2, y2 = p2[:, 0], p2[:, 1]
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1,
                    jnp.ones_like(x1)], axis=-1)        # [8, 9]
     _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    F = Vt[-1].reshape(3, 3)
-    U, S, Vt2 = jnp.linalg.svd(F)
-    S = S.at[2].set(0.0)
-    return U @ jnp.diag(S) @ Vt2
+    return Vt[-1].reshape(3, 3)
 
 
 def _sampson_dist(F: jax.Array, p1: jax.Array, p2: jax.Array) -> jax.Array:
@@ -96,7 +103,8 @@ def ransac_fundamental(p1: jax.Array, p2: jax.Array, valid: jax.Array,
     inl = (d < thresh) & valid[None, :]
     counts = jnp.sum(inl, axis=1)
     best = jnp.argmax(counts)
-    return RansacResult(model=Fs[best], inliers=inl[best],
+    # Rank-2 projection on the winner only (see _eight_point docstring).
+    return RansacResult(model=_rank2_project(Fs[best]), inliers=inl[best],
                         n_inliers=counts[best])
 
 
