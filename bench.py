@@ -43,7 +43,8 @@ def build_inputs(cfg, n_frames, seed=0):
     win = BackendState.fresh(cfg).window._replace(
         p=seq.p[:F], q=seq.q[:F], v=seq.v[:F])
     win = fm.triangulate(win, feats, seq.ext, cfg)
-    est = BackendState.bootstrap(cfg, win, feats, chunks)
+    est = BackendState.bootstrap(cfg, win, feats, chunks, seq.ext,
+                                 seq.gravity)
 
     inputs = FrameInput(
         chunk=jax.tree.map(lambda x: x[F:], seq.chunks),

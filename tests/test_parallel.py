@@ -68,7 +68,8 @@ def test_batched_backend_step_runs_sharded():
     states, inputs = [], []
     for b in range(B):
         w = wins[b % 2]
-        est = BackendState.bootstrap(cfg, w.state, w.feats, w.chunks)
+        est = BackendState.bootstrap(cfg, w.state, w.feats, w.chunks,
+                                     w.ext, w.gravity)
         states.append(est)
         F = cfg.window.num_frames
         inputs.append(FrameInput(

@@ -75,16 +75,43 @@ class BackendState(NamedTuple):
 
     @staticmethod
     def bootstrap(cfg: VinsConfig, window: WindowState, feats: FeatureTable,
-                  chunks: pre_mod.ImuChunk) -> "BackendState":
-        """Build a ready state from a known window, propagating every
-        edge's preintegration at the window's bias estimates."""
-        W = cfg.window.num_frames - 1
+                  chunks: pre_mod.ImuChunk, ext, gravity) -> "BackendState":
+        """Build a ready state from a solved (e.g. freshly initialized)
+        window: marginalize the oldest frame and slide once, exactly as a
+        normal step's tail does.
+
+        The slide is essential, not cosmetic: backend_step ingests the
+        next frame into slot F-1 and connects it with an IMU edge from
+        slot F-2 — handing over an UNslid window would discard the init
+        window's newest frame while edge W-1's chunk still spans from it,
+        misaligning the IMU factor by one frame interval (measured as a
+        1.45x arc overshoot right after init). Marginalizing here also
+        hands the first real solve a proper prior (the reference runs
+        solve_ceres incl. marginalization on the init window itself,
+        VINS.cpp:455,480), so no solve ever sees a free gauge.
+        """
+        F = cfg.window.num_frames
+        W = F - 1
         preints = jax.vmap(
             lambda c, ba, bg: pre_mod.propagate(c, ba, bg, cfg.imu)
         )(chunks, window.ba[:W], window.bg[:W])
+        prob = WindowProblem(
+            feats=feats, preints=preints, prior=PriorFactor.empty(F),
+            ext=ext, gravity=gravity,
+            sqrt_info_proj=jnp.asarray(cfg.camera.focal / 1.5),
+            frame_free=jnp.ones(F, window.p.dtype))
+        prior_new = marg.marginalize_old(window, prob, cfg)
+        feats_new, inv_new = fm.slide_old(window, feats, ext, cfg)
+        win_new = marg.slide_state_old(window)._replace(inv_depth=inv_new)
+        chunks_new = jax.tree.map(
+            lambda c: jnp.concatenate([c[1:], jnp.zeros_like(c[:1])], 0),
+            chunks)
+        preints_new = jax.tree.map(
+            lambda p: jnp.concatenate([p[1:], p[-1:]], 0), preints)
         fresh = BackendState.fresh(cfg)
-        return fresh._replace(window=window, feats=feats, chunks=chunks,
-                              preints=preints)
+        return fresh._replace(window=win_new, feats=feats_new,
+                              chunks=chunks_new, preints=preints_new,
+                              prior=prior_new)
 
 
 class FrameInput(NamedTuple):
@@ -168,6 +195,24 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
     preints = jax.tree.map(
         lambda all_, new: all_.at[W - 1].set(new), est.preints, pre_new)
 
+    # Repropagate ALL edges only when some edge's bias estimate has
+    # drifted far from its preintegration linearization point (the
+    # reference's repropagate trigger, integration_base.h:47): the
+    # first-order Jacobian correction in the residual is accurate for
+    # small deviations, but right after initialization the bias estimates
+    # move a lot and keeping stale linearizations was measured to leak
+    # into the metric scale. Steady state skips the 31-step x W scan.
+    dev_a = jnp.max(jnp.linalg.norm(
+        est.window.ba[:W] - preints.linearized_ba, axis=-1))
+    dev_g = jnp.max(jnp.linalg.norm(
+        est.window.bg[:W] - preints.linearized_bg, axis=-1))
+    preints = jax.lax.cond(
+        (dev_a > 0.05) | (dev_g > 0.01),
+        lambda: jax.vmap(
+            lambda c, ba, bg: pre_mod.propagate(c, ba, bg, cfg.imu)
+        )(chunks, est.window.ba[:W], est.window.bg[:W]),
+        lambda: preints)
+
     # 2. Ingest features into slot F-1.
     feats = fm.ingest_frame(est.feats, jnp.asarray(F - 1), inp.ids, inp.obs,
                             inp.obs_valid)
@@ -198,11 +243,30 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
 
     # NOTE: the reference re-anchors frame 0's yaw/position after every
     # solve (new2old, VINS.cpp:131-212) because Ceres' gauge can wander.
-    # Here the marginalization prior + LM damping pin the gauge natively;
+    # Once a marginalization prior exists it pins the gauge natively and
     # A/B on noisy synthetic shows per-solve re-anchoring *doubles* drift
     # (it discards prior-informed corrections to frame 0), so it is
-    # intentionally omitted. Re-anchoring is still done at failure
-    # recovery (host level) for trajectory continuity.
+    # omitted in steady state. But the FIRST post-init solves run with an
+    # empty prior (weight 0): the 4-DoF gauge is then free, the solution
+    # can translate/yaw arbitrarily (observed tripping failure detection
+    # from sub-mm input perturbations), so frame 0's yaw+position are
+    # re-anchored to their pre-solve values exactly while the prior is
+    # inactive.
+    def reanchor(s: WindowState) -> WindowState:
+        ypr_before = lie.rotmat_to_ypr(lie.quat_to_rotmat(win.q[0]))
+        ypr_after = lie.rotmat_to_ypr(lie.quat_to_rotmat(s.q[0]))
+        dyaw = ypr_before[0] - ypr_after[0]
+        R_fix = lie.ypr_to_rotmat(jnp.stack(
+            [dyaw, jnp.zeros_like(dyaw), jnp.zeros_like(dyaw)]))
+        q_fix = lie.rotmat_to_quat(R_fix)
+        p_fix = win.p[0] - R_fix @ s.p[0]
+        return s._replace(
+            p=s.p @ R_fix.T + p_fix,
+            q=jax.vmap(lambda q: lie.quat_mul(q_fix, q))(s.q),
+            v=s.v @ R_fix.T)
+
+    solved = jax.lax.cond(est.prior.weight > 0,
+                          lambda s: s, reanchor, solved)
 
     # 7. Failure detection; on failure keep the predicted (unsolved) state.
     fail = _failure_detection(win, solved, feats, cfg)
@@ -278,7 +342,8 @@ class VinsEstimator:
 
     def bootstrap(self, window: WindowState, feats: FeatureTable,
                   chunks: pre_mod.ImuChunk):
-        self.state = BackendState.bootstrap(self.cfg, window, feats, chunks)
+        self.state = BackendState.bootstrap(self.cfg, window, feats,
+                                            chunks, self.ext, self.gravity)
         self.initialized = True
 
     def process_frame(self, inp: FrameInput) -> BackendOutput:

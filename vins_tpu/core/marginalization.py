@@ -87,31 +87,32 @@ def marginalize_old(state: WindowState, prob: WindowProblem,
     feats = prob.feats
 
     # --- Assemble H,g over [pose tangent D | landmark M] -----------------
-    H = jnp.zeros((D + M, D + M), dtype)
-    g = jnp.zeros((D + M,), dtype)
+    # One stacked whitened Jacobian, blocks placed scatter-free
+    # (solver._place_blocks): H = JᵀJ, g = Jᵀr on the MXU.
+    from .solver import _place_blocks
 
     # Prior factor (replayed at current state).
     dx = state_boxminus(state, prob.prior)
     r_p = (prob.prior.r + prob.prior.J @ dx) * prob.prior.weight
-    J_p = prob.prior.J * prob.prior.weight
-    H = H.at[:D, :D].add(J_p.T @ J_p)
-    g = g.at[:D].add(J_p.T @ r_p)
+    J_p = jnp.pad(prob.prior.J * prob.prior.weight, ((0, 0), (0, M)))
 
     # IMU edge 0 (frames 0,1) — dropped with frame 0 (VINS.cpp:717-726).
     r_i, J_i = imu_factor_local(
         jax.tree.map(lambda x: x[0], prob.preints), state, 0, prob.gravity)
-    H = H.at[0:30, 0:30].add(J_i.T @ J_i)
-    g = g.at[0:30].add(J_i.T @ r_i)
+    J_i_full = jnp.pad(J_i, ((0, 0), (0, D + M - 30)))
 
     # Projection factors anchored at frame 0 (VINS.cpp:728-751),
-    # compacted into the same fixed factor budget as the solver.
+    # compacted into the same fixed factor budget as the solver
+    # (top_k with index tie-break, valid-first stable order).
     fj_g = jnp.repeat(jnp.arange(F, dtype=jnp.int32), M)
     mm_g = jnp.tile(jnp.arange(M, dtype=jnp.int32), F)
     anchored0 = (feats.anchor[mm_g] == 0)
     w_grid = (feats.valid[mm_g] & anchored0 & feats.mask[fj_g, mm_g]
               & feats.mask[0, mm_g] & (fj_g != 0))
     K = min(cfg.solver.max_proj_factors, F * M)
-    order = jnp.argsort(~w_grid, stable=True)[:K]
+    n = fj_g.shape[0]
+    score = w_grid.astype(dtype) * (2.0 * n) - jnp.arange(n, dtype=dtype)
+    _, order = jax.lax.top_k(score, K)
     fj = fj_g[order]
     mm = mm_g[order]
     w_valid = w_grid[order].astype(dtype)
@@ -128,13 +129,16 @@ def marginalize_old(state: WindowState, prob: WindowProblem,
     J_pr = J_pr * w_rob[:, :, None]
     # Columns: [frame0 pose 0:6 | frame j pose | landmark].
     cols = jnp.concatenate([
-        jnp.broadcast_to(jnp.arange(6)[None, :], (K, 6)),
-        15 * fj[:, None] + jnp.arange(6)[None, :],
+        jnp.broadcast_to(jnp.arange(6, dtype=jnp.int32)[None, :], (K, 6)),
+        15 * fj[:, None] + jnp.arange(6, dtype=jnp.int32)[None, :],
         D + mm[:, None]], axis=1)  # [K,13]
-    Hk = jnp.einsum("krc,krd->kcd", J_pr, J_pr)      # [K,13,13]
-    gk = jnp.einsum("krc,kr->kc", J_pr, r_pr)        # [K,13]
-    H = H.at[cols[:, :, None], cols[:, None, :]].add(Hk)
-    g = g.at[cols].add(gk)
+    J_pr_full = _place_blocks(J_pr, cols, D + M).reshape(2 * K, D + M)
+
+    J_all = jnp.concatenate([J_p, J_i_full, J_pr_full], axis=0)
+    r_all = jnp.concatenate([r_p, r_i, r_pr.reshape(-1)])
+    pr = jax.lax.Precision.HIGHEST
+    H = jnp.matmul(J_all.T, J_all, precision=pr)
+    g = J_all.T @ r_all
 
     # --- Eliminate dropped landmarks (diagonal block) --------------------
     lm_dropped = (feats.valid & (feats.anchor == 0)).astype(dtype)  # [M]
@@ -145,6 +149,10 @@ def marginalize_old(state: WindowState, prob: WindowProblem,
     g_pose = g[:D] - H_dl @ (inv_hll * g[D:])
 
     # --- Eliminate frame 0 (15×15 block) ---------------------------------
+    # Eigen-clamped pseudo-inverse, NOT a ridge Cholesky: the dropped
+    # block is rank-deficient in gauge directions, which the clamp must
+    # remove (a ridge would invert them with 1/eps weight and poison the
+    # prior — measured as a 3x ATE regression).
     Amm_inv = _eig_clamped_pinv(H_pose[:15, :15], cfg.solver.eig_eps)
     Arm = H_pose[15:, :15]
     H_keep = H_pose[15:, 15:] - Arm @ Amm_inv @ Arm.T

@@ -85,7 +85,11 @@ def select_proj_factors(prob: WindowProblem, P: int) -> ProjSelection:
     fj, mm = _proj_grid_indices(F, M)
     w_valid = _proj_factor_mask(prob, fj, mm)              # [F*M]
     # Valid cells first, stable (keeps frame-major order within a track).
-    order = jnp.argsort(~w_valid.astype(bool), stable=True)[:P]
+    # top_k with an index tie-break replaces a full argsort (TPU sorts
+    # are expensive; top_k of the first P is cheaper).
+    n = fj.shape[0]
+    score = w_valid * (2.0 * n) - jnp.arange(n, dtype=w_valid.dtype)
+    _, order = jax.lax.top_k(score, P)
     w = w_valid[order]
     return ProjSelection(fj=fj[order], mm=mm[order], w=w)
 
@@ -144,26 +148,33 @@ def _residuals_only(state: WindowState, prob: WindowProblem,
     return cost, (r_prior, r_imu, r_proj, w_valid)
 
 
+def _place_blocks(J_blocks: jax.Array, cols: jax.Array, D: int) -> jax.Array:
+    """Scatter-free placement of per-factor Jacobian blocks into dense
+    rows: [K, R, C] blocks + [K, C] column indices → [K, R, D] via a
+    one-hot contraction (TPU scatters serialize; this is one matmul)."""
+    iota = jnp.arange(D, dtype=cols.dtype)
+    onehot = (cols[:, :, None] == iota[None, None, :]).astype(J_blocks.dtype)
+    return jnp.einsum("krc,kcD->krD", J_blocks, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _linearize(state: WindowState, prob: WindowProblem, cfg: VinsConfig,
                S_imu: jax.Array, sel: ProjSelection):
-    """Build the dense whitened Jacobian J [R, D_c+M] and residual r [R]."""
+    """Build the dense whitened Jacobian J [R, D_c+M] and residual r [R]
+    by one-hot block placement + concatenation (no scatters)."""
     F, M = prob.feats.mask.shape
     dtype = state.p.dtype
     D_c = 15 * F
+    D = D_c + M
     W = F - 1
     K = sel.fj.shape[0]
-    R_rows = D_c + 15 * W + 2 * K
 
-    J = jnp.zeros((R_rows, D_c + M), dtype)
-    r = jnp.zeros((R_rows,), dtype)
-
-    # ---- Prior rows [0, D_c) -------------------------------------------
+    # ---- Prior rows -----------------------------------------------------
     dx = state_boxminus(state, prob.prior)
     r_prior = (prob.prior.r + prob.prior.J @ dx) * prob.prior.weight
-    J = J.at[0:D_c, 0:D_c].set(prob.prior.J * prob.prior.weight)
-    r = r.at[0:D_c].set(r_prior)
+    J_top = jnp.pad(prob.prior.J * prob.prior.weight, ((0, 0), (0, M)))
 
-    # ---- IMU rows [D_c, D_c + 15W) -------------------------------------
+    # ---- IMU rows -------------------------------------------------------
     def imu_one(e):
         return imu_factor_local(
             jax.tree.map(lambda x: x[e], prob.preints), state, e,
@@ -177,12 +188,11 @@ def _linearize(state: WindowState, prob: WindowProblem, cfg: VinsConfig,
         [jnp.repeat(free_i[:, None], 15, 1), jnp.repeat(free_j[:, None], 15, 1)],
         axis=1)                                          # [W, 30]
     J_imu = J_imu * col_scale[:, None, :]
-    rows_imu = D_c + 15 * jnp.arange(W)[:, None] + jnp.arange(15)[None, :]
-    cols_imu = 15 * jnp.arange(W)[:, None] + jnp.arange(30)[None, :]
-    J = J.at[rows_imu[:, :, None], cols_imu[:, None, :]].add(J_imu)
-    r = r.at[rows_imu].set(r_imu)
+    cols_imu = (15 * jnp.arange(W, dtype=jnp.int32)[:, None]
+                + jnp.arange(30, dtype=jnp.int32)[None, :])
+    J_imu_full = _place_blocks(J_imu, cols_imu, D).reshape(15 * W, D)
 
-    # ---- Projection rows [D_c + 15W, end) ------------------------------
+    # ---- Projection rows ------------------------------------------------
     fj, mm, w_valid = sel.fj, sel.mm, sel.w              # [K]
     a = prob.feats.anchor[mm]
 
@@ -205,14 +215,14 @@ def _linearize(state: WindowState, prob: WindowProblem, cfg: VinsConfig,
         jnp.ones((K, 1), dtype)], axis=1)                # [K,13]
     J_proj_w = J_proj_w * col_free[:, None, :]
 
-    base = D_c + 15 * W
-    rows_p = base + 2 * jnp.arange(K)[:, None] + jnp.arange(2)[None, :]
     cols_p = jnp.concatenate([
-        15 * a[:, None] + jnp.arange(6)[None, :],
-        15 * fj[:, None] + jnp.arange(6)[None, :],
+        15 * a[:, None] + jnp.arange(6, dtype=jnp.int32)[None, :],
+        15 * fj[:, None] + jnp.arange(6, dtype=jnp.int32)[None, :],
         D_c + mm[:, None]], axis=1)                      # [K,13]
-    J = J.at[rows_p[:, :, None], cols_p[:, None, :]].add(J_proj_w)
-    r = r.at[rows_p].set(r_proj_w)
+    J_proj_full = _place_blocks(J_proj_w, cols_p, D).reshape(2 * K, D)
+
+    J = jnp.concatenate([J_top, J_imu_full, J_proj_full], axis=0)
+    r = jnp.concatenate([r_prior, r_imu.reshape(-1), r_proj_w.reshape(-1)])
 
     # Robust cost at linearization point (for LM bookkeeping).
     s = jnp.sum(r_proj * r_proj, axis=-1)
@@ -233,7 +243,7 @@ def _schur_solve(J: jax.Array, r: jax.Array, lam: jax.Array,
     H_s = H_cc − H_cl · H_ll⁻¹ · H_lc.
     """
     dtype = J.dtype
-    H = J.T @ J
+    H = jnp.matmul(J.T, J, precision=jax.lax.Precision.HIGHEST)
     g = J.T @ r
     H_cc = H[:D_c, :D_c]
     H_cl = H[:D_c, D_c:]
@@ -284,8 +294,18 @@ def solve_window(state: WindowState, prob: WindowProblem,
 
     cost0, _ = _residuals_only(state, prob, cfg, S_imu, sel)
 
-    def lm_iter(carry, _):
-        st, lam, cost, accepted = carry
+    # Early-exit LM: a while_loop instead of a fixed-length scan — the
+    # XLA analog of the reference's convergence+wall-clock budget
+    # (VINS.cpp:646-653). Converged = an accepted step improved the cost
+    # by less than rel_tol (relative); typical solves stop in 3-5 of the
+    # max_iters iterations, which matters because each iteration is a
+    # full linearize + Schur solve.
+    def cond(carry):
+        _, _, _, _, it, converged, _, _, _ = carry
+        return (it < sc.max_iters) & jnp.logical_not(converged)
+
+    def lm_iter(carry):
+        st, lam, cost, accepted, it, _, small_prev, _, _ = carry
         J, r, cost_lin, vis_cost, vis_num = _linearize(st, prob, cfg, S_imu,
                                                        sel)
         dx_c, dx_l = _schur_solve(J, r, lam, D_c, landmark_active)
@@ -294,21 +314,34 @@ def solve_window(state: WindowState, prob: WindowProblem,
                               dx_l)
         new_cost, _ = _residuals_only(cand, prob, cfg, S_imu, sel)
         good = jnp.isfinite(new_cost) & (new_cost < cost)
+        # Converged only when the improvement is tiny on TWO consecutive
+        # accepted steps AND the trust region is wide (lam at/below its
+        # initial value): in a flat valley (e.g. the metric-scale
+        # direction during init) heavily damped steps make per-iteration
+        # improvement small long before the solve is done — a one-shot
+        # exit there was measured to leave a 2.6x scale error on the
+        # init-refinement solves.
+        small = good & (cost - new_cost <= sc.rel_tol
+                        * jnp.maximum(cost, 1.0))
+        converged = small & small_prev & (lam <= sc.lambda_init)
         st = jax.tree.map(
             lambda a, b: jnp.where(good, b, a), st, cand)
         cost = jnp.where(good, new_cost, cost)
         lam = jnp.clip(jnp.where(good, lam * sc.lambda_down, lam * sc.lambda_up),
                        sc.lambda_min, sc.lambda_max)
         accepted = accepted + good.astype(jnp.int32)
-        return (st, lam, cost, accepted), (vis_cost, vis_num)
+        return (st, lam, cost, accepted, it + 1, converged, small,
+                vis_cost, vis_num)
 
     init = (state, jnp.asarray(sc.lambda_init, dtype), cost0,
-            jnp.zeros((), jnp.int32))
-    (state_f, lam_f, cost_f, acc), (vis_costs, vis_nums) = jax.lax.scan(
-        lm_iter, init, None, length=sc.max_iters)
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.asarray(False), jnp.asarray(False),
+            jnp.zeros((), dtype), jnp.zeros((), dtype))
+    (state_f, lam_f, cost_f, acc, _, _, _, vis_cost_f, vis_num_f) = \
+        jax.lax.while_loop(cond, lm_iter, init)
 
     stats = SolveStats(
         final_cost=cost_f, initial_cost=cost0,
-        visual_cost=vis_costs[-1], visual_factor_num=vis_nums[-1],
+        visual_cost=vis_cost_f, visual_factor_num=vis_num_f,
         accepted_iters=acc, final_lambda=lam_f)
     return state_f, stats

@@ -222,7 +222,8 @@ class VinsSystem:
             self.boot.pop(0)
             return self._null_output(t, front, status="FAIL_CHECK")
 
-        self.est = BackendState.bootstrap(cfg, window, feats, chunks)
+        self.est = BackendState.bootstrap(cfg, window, feats, chunks,
+                                          self.ext, self.gravity)
         self.initialized = True
         self.boot.clear()
         self._sync_pnp_from_backend()
