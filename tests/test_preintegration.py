@@ -130,3 +130,31 @@ def test_sqrt_information_whitens():
     P = np.asarray(p.covariance, np.float64) + 1e-8 * np.eye(15)
     # SᵀS ≈ P⁻¹
     np.testing.assert_allclose(S.T @ S @ P, np.eye(15), atol=5e-2)
+
+
+def test_parallel_matches_sequential_propagate():
+    """The associative-scan formulation must match the reference-order
+    sequential scan (same midpoint math, different association)."""
+    rng = np.random.default_rng(7)
+    N = 32
+    dt = np.zeros(N, np.float32)
+    dt[1:25] = rng.uniform(0.004, 0.012, 24)
+    acc = rng.normal(0, 2.0, (N, 3)).astype(np.float32) + [0, 0, 9.8]
+    gyr = rng.normal(0, 0.8, (N, 3)).astype(np.float32)
+    chunk = pre.ImuChunk(jnp.asarray(dt), jnp.asarray(acc), jnp.asarray(gyr))
+    ba = jnp.asarray([0.05, -0.02, 0.03])
+    bg = jnp.asarray([0.01, 0.02, -0.015])
+    a = pre.propagate(chunk, ba, bg, IMU)
+    b = pre.propagate_sequential(chunk, ba, bg, IMU)
+    np.testing.assert_allclose(np.asarray(a.dp), np.asarray(b.dp),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.dq), np.asarray(b.dq),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.dv), np.asarray(b.dv),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.jacobian), np.asarray(b.jacobian),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.covariance),
+                               np.asarray(b.covariance),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(a.sum_dt), float(b.sum_dt), rtol=1e-6)

@@ -124,6 +124,10 @@ def marginalize_old(state: WindowState, prob: WindowProblem,
             state.inv_depth[mm[k]], prob.ext, prob.sqrt_info_proj)
 
     r_pr, J_pr = jax.vmap(proj_one)(jnp.arange(K))  # [K,2], [K,2,13]
+    # where-mask padded factors (raw values can overflow; inf*0 = NaN).
+    okm = w_valid[:, None] > 0
+    r_pr = jnp.where(okm, r_pr, 0.0)
+    J_pr = jnp.where(okm[:, :, None], J_pr, 0.0)
     w_rob = cauchy_weight(r_pr, cfg.solver.cauchy_c) * w_valid[:, None]
     r_pr = r_pr * w_rob
     J_pr = J_pr * w_rob[:, :, None]

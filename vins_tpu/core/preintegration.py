@@ -146,10 +146,12 @@ def _midpoint_step(carry, sample, noise_cov):
             acc1, gyr1), None
 
 
-def propagate(chunk: ImuChunk, linearized_ba: jax.Array,
-              linearized_bg: jax.Array, imu: ImuConfig) -> Preintegration:
-    """Integrate a chunk into a `Preintegration` (= reference `propagate`,
-    and `repropagate` when called with updated biases)."""
+def propagate_sequential(chunk: ImuChunk, linearized_ba: jax.Array,
+                         linearized_bg: jax.Array,
+                         imu: ImuConfig) -> Preintegration:
+    """Reference-order sequential scan (integration_base.h:141-169).
+    Kept as the numeric reference implementation; `propagate` below is
+    the parallel formulation used in production."""
     dtype = chunk.acc.dtype
     noise_cov = noise_covariance(imu, dtype)
     init = (
@@ -163,6 +165,124 @@ def propagate(chunk: ImuChunk, linearized_ba: jax.Array,
     (dp, dq, dv, J, P, sum_dt, ba, bg, _, _), _ = jax.lax.scan(
         lambda c, s: _midpoint_step(c, s, noise_cov), init, xs
     )
+    return Preintegration(dp, dq, dv, J, P, sum_dt, ba, bg)
+
+
+def propagate(chunk: ImuChunk, linearized_ba: jax.Array,
+              linearized_bg: jax.Array, imu: ImuConfig) -> Preintegration:
+    """Integrate a chunk into a `Preintegration` (= reference `propagate`,
+    and `repropagate` when called with updated biases).
+
+    Parallel formulation of the same midpoint recursion
+    (integration_base.h:63-139): a 31-step sequential scan of tiny matrix
+    ops is latency-bound on TPU (~0.5 ms per edge, 5 ms for a window
+    repropagation). Instead:
+      1. per-step incremental rotations δq_k depend only on gyro inputs →
+         all rotation PREFIXES via one `associative_scan` of quaternion
+         products (log depth);
+      2. with rotations known, the midpoint accelerations are elementwise
+         and Δv/Δp are cumulative sums;
+      3. the Jacobian chain J = F_{N}···F_1 and covariance recursion
+         P ← F P Fᵀ + V Q Vᵀ form an associative pair composition
+         (A2·A1, A2·B1·A2ᵀ + B2) → one more `associative_scan` of batched
+         15×15 matmuls.
+    Padding rows (dt = 0) contribute identity/zero elements exactly, as
+    in the sequential form.
+    """
+    dtype = chunk.acc.dtype
+    noise_cov = noise_covariance(imu, dtype)
+    ba, bg = linearized_ba, linearized_bg
+    dt = chunk.dt[1:]                      # [S]
+    acc0 = chunk.acc[:-1]
+    acc1 = chunk.acc[1:]
+    gyr0 = chunk.gyr[:-1]
+    gyr1 = chunk.gyr[1:]
+    S = dt.shape[0]
+    I3 = jnp.eye(3, dtype=dtype)
+
+    # --- 1. rotation prefixes -------------------------------------------
+    un_gyr = 0.5 * (gyr0 + gyr1) - bg                     # [S,3]
+    dq_inc = jax.vmap(lambda w, d: lie.delta_q(w * d))(un_gyr, dt)
+    dq_pref = jax.lax.associative_scan(
+        jax.vmap(lie.quat_mul), dq_inc)                   # [S,4]
+    dq_pref = dq_pref / jnp.linalg.norm(dq_pref, axis=-1, keepdims=True)
+    dq0 = jnp.concatenate(
+        [lie.quat_identity(dtype)[None], dq_pref[:-1]], axis=0)  # R at k-1
+    R0 = jax.vmap(lie.quat_to_rotmat)(dq0)                # [S,3,3]
+    R1 = jax.vmap(lie.quat_to_rotmat)(dq_pref)
+
+    # --- 2. Δv / Δp cumulative sums --------------------------------------
+    a0 = acc0 - ba
+    a1 = acc1 - ba
+    un_acc = 0.5 * (jnp.einsum("sij,sj->si", R0, a0)
+                    + jnp.einsum("sij,sj->si", R1, a1))   # [S,3]
+    dv_steps = un_acc * dt[:, None]
+    dv_pref = jnp.cumsum(dv_steps, axis=0)
+    dv_excl = jnp.concatenate([jnp.zeros((1, 3), dtype), dv_pref[:-1]], 0)
+    dp = jnp.sum(dv_excl * dt[:, None] + 0.5 * un_acc * (dt * dt)[:, None],
+                 axis=0)
+    dv = dv_pref[-1]
+    dq = dq_pref[-1]
+    sum_dt = jnp.sum(dt)
+
+    # --- 3. batched F/V, then pair-composition scan -----------------------
+    dt2 = dt * dt
+
+    def fv_one(R0k, R1k, a0k, a1k, wk, dtk, dt2k):
+        R_w_x = lie.skew(wk)
+        R_a_0_x = lie.skew(a0k)
+        R_a_1_x = lie.skew(a1k)
+        Rw = I3 - R_w_x * dtk
+        F = jnp.zeros((15, 15), dtype)
+        f_01 = -0.25 * R0k @ R_a_0_x * dt2k \
+            + (-0.25) * R1k @ R_a_1_x @ Rw * dt2k
+        F = F.at[O_P:O_P + 3, O_P:O_P + 3].set(I3)
+        F = F.at[O_P:O_P + 3, O_R:O_R + 3].set(f_01)
+        F = F.at[O_P:O_P + 3, O_V:O_V + 3].set(I3 * dtk)
+        F = F.at[O_P:O_P + 3, O_BA:O_BA + 3].set(-0.25 * (R0k + R1k) * dt2k)
+        F = F.at[O_P:O_P + 3, O_BG:O_BG + 3].set(
+            0.25 * R1k @ R_a_1_x * dt2k * dtk)
+        F = F.at[O_R:O_R + 3, O_R:O_R + 3].set(Rw)
+        F = F.at[O_R:O_R + 3, O_BG:O_BG + 3].set(-I3 * dtk)
+        f_21 = -0.5 * R0k @ R_a_0_x * dtk \
+            + (-0.5) * R1k @ R_a_1_x @ Rw * dtk
+        F = F.at[O_V:O_V + 3, O_R:O_R + 3].set(f_21)
+        F = F.at[O_V:O_V + 3, O_V:O_V + 3].set(I3)
+        F = F.at[O_V:O_V + 3, O_BA:O_BA + 3].set(-0.5 * (R0k + R1k) * dtk)
+        F = F.at[O_V:O_V + 3, O_BG:O_BG + 3].set(0.5 * R1k @ R_a_1_x * dt2k)
+        F = F.at[O_BA:O_BA + 3, O_BA:O_BA + 3].set(I3)
+        F = F.at[O_BG:O_BG + 3, O_BG:O_BG + 3].set(I3)
+
+        V = jnp.zeros((15, 18), dtype)
+        v_01 = -0.125 * R1k @ R_a_1_x * dt2k * dtk
+        V = V.at[O_P:O_P + 3, 0:3].set(0.25 * R0k * dt2k)
+        V = V.at[O_P:O_P + 3, 3:6].set(v_01)
+        V = V.at[O_P:O_P + 3, 6:9].set(0.25 * R1k * dt2k)
+        V = V.at[O_P:O_P + 3, 9:12].set(v_01)
+        V = V.at[O_R:O_R + 3, 3:6].set(0.5 * I3 * dtk)
+        V = V.at[O_R:O_R + 3, 9:12].set(0.5 * I3 * dtk)
+        V = V.at[O_V:O_V + 3, 0:3].set(0.5 * R0k * dtk)
+        v_21 = -0.25 * R1k @ R_a_1_x * dt2k
+        V = V.at[O_V:O_V + 3, 3:6].set(v_21)
+        V = V.at[O_V:O_V + 3, 6:9].set(0.5 * R1k * dtk)
+        V = V.at[O_V:O_V + 3, 9:12].set(v_21)
+        V = V.at[O_BA:O_BA + 3, 12:15].set(I3 * dtk)
+        V = V.at[O_BG:O_BG + 3, 15:18].set(I3 * dtk)
+        return F, V
+
+    F_all, V_all = jax.vmap(fv_one)(R0, R1, a0, a1, un_gyr, dt, dt2)
+    Q_all = jnp.einsum("sij,jk,slk->sil", V_all, noise_cov, V_all)
+
+    def compose(x, y):
+        A1, B1 = x
+        A2, B2 = y
+        A = jnp.einsum("...ij,...jk->...ik", A2, A1)
+        B = jnp.einsum("...ij,...jk,...lk->...il", A2, B1, A2) + B2
+        return A, B
+
+    J_pref, P_pref = jax.lax.associative_scan(compose, (F_all, Q_all))
+    J = J_pref[-1]
+    P = P_pref[-1]
     return Preintegration(dp, dq, dv, J, P, sum_dt, ba, bg)
 
 

@@ -142,7 +142,8 @@ def _residuals_only(state: WindowState, prob: WindowProblem,
             state.inv_depth[mm[k]], prob.ext)
         return prob.sqrt_info_proj * r
 
-    r_proj = jax.vmap(proj_r)(jnp.arange(P)) * w_valid[:, None]
+    r_proj = jnp.where(w_valid[:, None] > 0,
+                       jax.vmap(proj_r)(jnp.arange(P)), 0.0)
     s = jnp.sum(r_proj * r_proj, axis=-1)
     cost += 0.5 * jnp.sum(cauchy_rho(s, cfg.solver.cauchy_c) * w_valid)
     return cost, (r_prior, r_imu, r_proj, w_valid)
@@ -203,6 +204,12 @@ def _linearize(state: WindowState, prob: WindowProblem, cfg: VinsConfig,
             state.inv_depth[mm[k]], prob.ext, prob.sqrt_info_proj)
 
     r_proj, J_proj = jax.vmap(proj_one)(jnp.arange(K))   # [K,2], [K,2,13]
+    # Mask padded factors FIRST with where (not multiply): their raw
+    # residuals/Jacobians can overflow fp32 (inv_depth 0, arbitrary
+    # states), and inf·0 = NaN would poison the cost / normal equations.
+    ok = w_valid[:, None] > 0
+    r_proj = jnp.where(ok, r_proj, 0.0)
+    J_proj = jnp.where(ok[:, :, None], J_proj, 0.0)
 
     # Cauchy IRLS reweighting + validity + freeze masking.
     w_rob = cauchy_weight(r_proj, cfg.solver.cauchy_c)   # [K,1]
@@ -292,27 +299,32 @@ def solve_window(state: WindowState, prob: WindowProblem,
     # every linearize/cost call (10 × 15×15 inverse+Cholesky per call).
     S_imu = jax.vmap(pre_mod.sqrt_information)(prob.preints)
 
-    cost0, _ = _residuals_only(state, prob, cfg, S_imu, sel)
+    # Early-exit LM as a while_loop — the XLA analog of the reference's
+    # convergence+wall-clock budget (VINS.cpp:646-653). Typical solves
+    # stop in 3-5 of the max_iters iterations.
+    #
+    # Speculative linearization: the candidate's cost check and the next
+    # iteration's linearization evaluate the same residuals, so each
+    # iteration linearizes AT THE CANDIDATE (one factor sweep per
+    # iteration instead of two) and carries (J, r, cost). On rejection
+    # (rare: LM accepts most steps) the previous linearization is reused
+    # from the carry.
+    J0, r0, cost0, vis_cost0, vis_num0 = _linearize(state, prob, cfg,
+                                                    S_imu, sel)
 
-    # Early-exit LM: a while_loop instead of a fixed-length scan — the
-    # XLA analog of the reference's convergence+wall-clock budget
-    # (VINS.cpp:646-653). Converged = an accepted step improved the cost
-    # by less than rel_tol (relative); typical solves stop in 3-5 of the
-    # max_iters iterations, which matters because each iteration is a
-    # full linearize + Schur solve.
     def cond(carry):
-        _, _, _, _, it, converged, _, _, _ = carry
+        it, converged = carry[4], carry[5]
         return (it < sc.max_iters) & jnp.logical_not(converged)
 
     def lm_iter(carry):
-        st, lam, cost, accepted, it, _, small_prev, _, _ = carry
-        J, r, cost_lin, vis_cost, vis_num = _linearize(st, prob, cfg, S_imu,
-                                                       sel)
+        (st, lam, cost, accepted, it, _, small_prev, vis_cost, vis_num,
+         J, r) = carry
         dx_c, dx_l = _schur_solve(J, r, lam, D_c, landmark_active)
         dx_l = dx_l * landmark_active
         cand = retract_window(st, dx_c * jnp.repeat(prob.frame_free, 15),
                               dx_l)
-        new_cost, _ = _residuals_only(cand, prob, cfg, S_imu, sel)
+        J_c, r_c, new_cost, vis_cost_c, vis_num_c = _linearize(
+            cand, prob, cfg, S_imu, sel)
         good = jnp.isfinite(new_cost) & (new_cost < cost)
         # Converged only when the improvement is tiny on TWO consecutive
         # accepted steps AND the trust region is wide (lam at/below its
@@ -326,18 +338,22 @@ def solve_window(state: WindowState, prob: WindowProblem,
         converged = small & small_prev & (lam <= sc.lambda_init)
         st = jax.tree.map(
             lambda a, b: jnp.where(good, b, a), st, cand)
+        J = jnp.where(good, J_c, J)
+        r = jnp.where(good, r_c, r)
         cost = jnp.where(good, new_cost, cost)
+        vis_cost = jnp.where(good, vis_cost_c, vis_cost)
+        vis_num = jnp.where(good, vis_num_c, vis_num)
         lam = jnp.clip(jnp.where(good, lam * sc.lambda_down, lam * sc.lambda_up),
                        sc.lambda_min, sc.lambda_max)
         accepted = accepted + good.astype(jnp.int32)
         return (st, lam, cost, accepted, it + 1, converged, small,
-                vis_cost, vis_num)
+                vis_cost, vis_num, J, r)
 
     init = (state, jnp.asarray(sc.lambda_init, dtype), cost0,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
             jnp.asarray(False), jnp.asarray(False),
-            jnp.zeros((), dtype), jnp.zeros((), dtype))
-    (state_f, lam_f, cost_f, acc, _, _, _, vis_cost_f, vis_num_f) = \
+            vis_cost0, vis_num0, J0, r0)
+    (state_f, lam_f, cost_f, acc, _, _, _, vis_cost_f, vis_num_f, _, _) = \
         jax.lax.while_loop(cond, lm_iter, init)
 
     stats = SolveStats(
