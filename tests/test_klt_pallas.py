@@ -112,3 +112,31 @@ def test_patch_parity_at_borders(rng):
     np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_ref),
                                atol=1e-4)
     assert np.array_equal(np.asarray(ok_pal), np.asarray(ok_ref))
+
+
+def test_track_pyramid_pallas_matches_xla(scene):
+    """Whole-pyramid fused kernel vs the XLA per-level composition."""
+    from vins_tpu.ops.klt_pallas import track_pyramid_pallas
+
+    img0, img1, pts = scene
+    L = CFG.pyramid_levels
+    pyr0 = image_mod.build_pyramid(img0, L)
+    pyr1 = image_mod.build_pyramid(img1, L)
+    grads = [image_mod.sobel_gradients(p) for p in pyr0]
+    valid = jnp.ones(pts.shape[0], bool)
+
+    flow = jnp.zeros_like(pts)
+    ok = valid
+    for lvl in range(L - 1, -1, -1):
+        flow, ok, err = klt_mod._track_level(
+            pyr0[lvl], grads[lvl][0], grads[lvl][1], pyr1[lvl],
+            pts / (2.0 ** lvl), flow, ok, CFG)
+        if lvl > 0:
+            flow = flow * 2.0
+
+    with pltpu.force_tpu_interpret_mode():
+        p_pal, ok_pal, _ = track_pyramid_pallas(
+            pyr0, grads, pyr1, pts, valid, CFG.klt_window, CFG.klt_iters)
+    np.testing.assert_allclose(np.asarray(p_pal - pts), np.asarray(flow),
+                               atol=1e-3)
+    assert np.array_equal(np.asarray(ok_pal), np.asarray(ok))

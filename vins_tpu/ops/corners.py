@@ -96,17 +96,17 @@ def fast_score(img: jax.Array, threshold: float = 0.04) -> jax.Array:
     shifted copies; a pixel is a corner if ≥9 contiguous neighbors are all
     brighter (or all darker) than center±t. Score = sum |diff| over the
     contiguous arc (SAD score, matching OpenCV's nonmax score shape)."""
-    offs = jnp.array([
-        (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
-        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2),
-        (-3 + 2, -3 + 0)], jnp.int32)  # last fixed below
-    offs = offs.at[15].set(jnp.array([-1, -3]))
+    # Static Bresenham-16 circle offsets (plain Python so the slices are
+    # compile-time constants — jit-safe).
+    offs = [(0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2),
+            (1, 3), (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1),
+            (-2, -2), (-1, -3)]
     H, W = img.shape
     pad = 3
     imp = jnp.pad(img, pad, mode="edge")
     ring = jnp.stack([
-        jax.lax.dynamic_slice(imp, (pad + int(dy), pad + int(dx)), (H, W))
-        for dx, dy in [(int(o[0]), int(o[1])) for o in offs]], axis=0)
+        jax.lax.dynamic_slice(imp, (pad + dy, pad + dx), (H, W))
+        for dx, dy in offs], axis=0)
     bright = ring > img[None] + threshold
     dark = ring < img[None] - threshold
 

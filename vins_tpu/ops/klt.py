@@ -115,29 +115,29 @@ def track_pyramid(pyr_prev: List[jax.Array], pyr_next: List[jax.Array],
     dtype = pts_prev.dtype
     grads = [sobel_gradients(p) for p in pyr_prev]
 
-    flow = (jnp.zeros_like(pts_prev) if init_flow is None
-            else init_flow / (2.0 ** (L - 1)))
-    ok = valid
-    err = jnp.zeros(pts_prev.shape[0], dtype)
-    use_pallas = _on_tpu()
-    for lvl in range(L - 1, -1, -1):
-        scale = jnp.asarray(2.0 ** lvl, dtype)
-        pts_l = pts_prev / scale
-        if use_pallas:
-            from .klt_pallas import track_level_pallas
+    if _on_tpu():
+        # One kernel launch for the whole pyramid (ops/klt_pallas.py):
+        # per-level launches cost ~0.5 ms each in serial kernel dispatch.
+        from .klt_pallas import track_pyramid_pallas
 
-            flow, lvl_ok, err = track_level_pallas(
-                pyr_prev[lvl], grads[lvl][0], grads[lvl][1], pyr_next[lvl],
-                pts_l, flow, ok, cfg.klt_window, cfg.klt_iters, cfg.klt_eps)
-            ok = ok & lvl_ok
-        else:
+        pts_next, ok, err = track_pyramid_pallas(
+            pyr_prev, grads, pyr_next, pts_prev, valid,
+            cfg.klt_window, cfg.klt_iters, cfg.klt_eps, init_flow)
+        ok = ok & valid
+    else:
+        flow = (jnp.zeros_like(pts_prev) if init_flow is None
+                else init_flow / (2.0 ** (L - 1)))
+        ok = valid
+        err = jnp.zeros(pts_prev.shape[0], dtype)
+        for lvl in range(L - 1, -1, -1):
+            scale = jnp.asarray(2.0 ** lvl, dtype)
+            pts_l = pts_prev / scale
             flow, ok, err = _track_level(
                 pyr_prev[lvl], grads[lvl][0], grads[lvl][1], pyr_next[lvl],
                 pts_l, flow, ok, cfg)
-        if lvl > 0:
-            flow = flow * 2.0
-
-    pts_next = pts_prev + flow
+            if lvl > 0:
+                flow = flow * 2.0
+        pts_next = pts_prev + flow
     H, W = pyr_next[0].shape
     border = 1.0
     inb = ((pts_next[:, 0] >= border) & (pts_next[:, 0] < W - border)

@@ -184,6 +184,140 @@ def track_level_pallas(img_prev: jax.Array, gx: jax.Array, gy: jax.Array,
     return flow, ok[:, 0] > 0, err[:, 0]
 
 
+def _klt_pyramid_kernel(pts_ref, guess_ref, valid_ref, *refs,
+                        win: int, iters: int, eps: float, shapes):
+    """Full pyramidal LK for one feature: all levels inside one kernel.
+
+    refs layout: for each level l (coarsest last in `shapes` order):
+      prev_l, gx_l, gy_l, next_l  (VMEM), then outputs
+      flow_ref, ok_ref, err_ref (SMEM).
+    Descends coarse→fine carrying the flow, exactly like
+    ops.klt.track_pyramid's host loop, but with one kernel launch per
+    image pair instead of one per level.
+    """
+    L = len(shapes)
+    flow_ref, ok_ref, err_ref = refs[4 * L], refs[4 * L + 1], refs[4 * L + 2]
+    i = pl.program_id(0)
+    r = (win - 1) / 2.0
+    px = pts_ref[i, 0]
+    py = pts_ref[i, 1]
+    fx_ = guess_ref[i, 0]
+    fy_ = guess_ref[i, 1]
+    ok = valid_ref[i, 0] > 0
+    err = jnp.zeros((), jnp.float32)
+
+    for lvl in range(L - 1, -1, -1):   # coarsest → finest
+        H, W = shapes[lvl]
+        prev_ref = refs[4 * lvl + 0]
+        gx_ref = refs[4 * lvl + 1]
+        gy_ref = refs[4 * lvl + 2]
+        next_ref = refs[4 * lvl + 3]
+        scale = jnp.float32(2.0 ** lvl)
+        plx = px / scale
+        ply = py / scale
+
+        t = _bilinear_patch(prev_ref, plx - r, ply - r, win, H, W)
+        tx = _bilinear_patch(gx_ref, plx - r, ply - r, win, H, W)
+        ty = _bilinear_patch(gy_ref, plx - r, ply - r, win, H, W)
+        a = jnp.sum(tx * tx)
+        b = jnp.sum(tx * ty)
+        c = jnp.sum(ty * ty)
+        det = a * c - b * b
+        tr = a + c
+        min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+        ok = ok & (min_eig / (win * win) > 1e-4)
+        inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
+        i00 = c * inv_det
+        i01 = -b * inv_det
+        i11 = a * inv_det
+
+        def cond(carry):
+            it, _fx, _fy, _e, d2 = carry
+            return (it < iters) & (d2 > eps * eps)
+
+        def body(carry):
+            it, fx_i, fy_i, _e, _d2 = carry
+            cur = _bilinear_patch(next_ref, plx + fx_i - r, ply + fy_i - r,
+                                  win, H, W)
+            diff = cur - t
+            rx = jnp.sum(diff * tx)
+            ry = jnp.sum(diff * ty)
+            dx = -(i00 * rx + i01 * ry)
+            dy = -(i01 * rx + i11 * ry)
+            return (it + 1, fx_i + dx, fy_i + dy, jnp.mean(jnp.abs(diff)),
+                    dx * dx + dy * dy)
+
+        _, fx_, fy_, err, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), fx_, fy_,
+                         jnp.zeros((), jnp.float32),
+                         jnp.full((), jnp.inf, jnp.float32)))
+        if lvl > 0:
+            fx_ = fx_ * 2.0
+            fy_ = fy_ * 2.0
+
+    flow_ref[i, 0] = fx_
+    flow_ref[i, 1] = fy_
+    ok_ref[i, 0] = ok.astype(jnp.int32)
+    err_ref[i, 0] = err
+
+
+@functools.lru_cache(maxsize=None)
+def _build_klt_pyramid_call(M: int, shapes, pad_shapes, win: int,
+                            iters: int, eps: float):
+    kernel = functools.partial(_klt_pyramid_kernel, win=win, iters=iters,
+                               eps=eps, shapes=shapes)
+    img_specs = []
+    for (H, Wp) in pad_shapes:
+        img_specs += [pl.BlockSpec((H, Wp), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)] * 4
+    return pl.pallas_call(
+        kernel,
+        grid=(M,),
+        in_specs=[
+            pl.BlockSpec((M, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((M, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((M, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ] + img_specs,
+        out_specs=(
+            pl.BlockSpec((M, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((M, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((M, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, 2), jnp.float32),
+            jax.ShapeDtypeStruct((M, 1), jnp.int32),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        ),
+    )
+
+
+def track_pyramid_pallas(pyr_prev, grads, pyr_next, pts_prev, valid,
+                         win: int, iters: int, eps: float = 0.0,
+                         init_flow=None):
+    """Whole-pyramid LK in ONE kernel launch (vs one per level).
+
+    pyr_prev/pyr_next: level lists (finest first); grads: [(gx, gy)] per
+    level; pts_prev: [M,2] level-0 points. Returns (pts, ok, err) like
+    ops.klt.track_pyramid.
+    """
+    M = pts_prev.shape[0]
+    L = len(pyr_prev)
+    shapes = tuple(tuple(p.shape) for p in pyr_prev)
+    imgs = []
+    for l in range(L):
+        imgs += [_pad_lanes(pyr_prev[l]), _pad_lanes(grads[l][0]),
+                 _pad_lanes(grads[l][1]), _pad_lanes(pyr_next[l])]
+    pad_shapes = tuple(tuple(imgs[4 * l].shape) for l in range(L))
+    call = _build_klt_pyramid_call(M, shapes, pad_shapes, win, iters, eps)
+    guess = (jnp.zeros_like(pts_prev) if init_flow is None
+             else init_flow / (2.0 ** (L - 1)))
+    flow, ok, err = call(
+        pts_prev.astype(jnp.float32), guess.astype(jnp.float32),
+        valid.astype(jnp.int32)[:, None], *imgs)
+    pts_next = pts_prev + flow
+    return pts_next, ok[:, 0] > 0, err[:, 0]
+
+
 def _ncc_kernel(pa_ref, pb_ref, a_ref, b_ref, out_ref,
                 *, win: int, H: int, W: int):
     i = pl.program_id(0)
