@@ -1,0 +1,152 @@
+"""BoW vocabulary tests: training, transform, L1 scoring, persistence.
+
+The reference loads a pre-trained DBoW2 tree (brief_k10L6.bin) and scores
+with an inverted file (ThirdParty/DBoW/TemplatedVocabulary.h,
+TemplatedDatabase.h); here we train our own hierarchical k-medians tree
+and score densely (vins_tpu/loop/vocabulary.py).
+"""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vins_tpu import default_config
+from vins_tpu.io import synthetic
+from vins_tpu.loop import vocabulary as voc
+from vins_tpu.ops import brief as brief_mod
+
+
+def _random_desc(rng, n):
+    return rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32)
+
+
+def _clustered_desc(rng, n_clusters, per_cluster, flip_bits=12):
+    """Descriptor pool with planted Hamming clusters."""
+    centers = _random_desc(rng, n_clusters)
+    out, labels = [], []
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            d = centers[c].copy()
+            for b in rng.integers(0, 256, flip_bits):
+                d[b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+            out.append(d)
+            labels.append(c)
+    return np.stack(out), np.array(labels), centers
+
+
+def test_train_separates_planted_clusters():
+    """Planted Hamming clusters must be distinguishable by word id, and
+    word assignment must be stable under small descriptor noise (the
+    quantization-robustness DBoW2 relies on; a hierarchical tree may
+    legitimately split one cluster across a branch boundary, so purity is
+    gated loosely while distinctness and stability are gated hard)."""
+    rng = np.random.default_rng(0)
+    desc, labels, _ = _clustered_desc(rng, n_clusters=6, per_cluster=30)
+    vocab = voc.train_vocabulary(desc, k=4, levels=2, seed=1)
+    ones = jnp.ones(len(desc), bool)
+    wid = np.asarray(voc.transform(vocab, jnp.asarray(desc), ones)[0])
+    # Each planted cluster has a dominant word and clusters don't collapse.
+    dom, purity = [], []
+    for c in range(6):
+        w = wid[labels == c]
+        dom.append(np.bincount(w).argmax())
+        purity.append(np.bincount(w).max() / len(w))
+    assert len(set(dom)) >= 5, f"clusters collapsed onto words {dom}"
+    assert np.mean(purity) >= 0.6, f"purity too low: {purity}"
+    # Stability: flip 6 random bits per descriptor → same word ≥ 70%.
+    noisy = desc.copy()
+    for i in range(len(noisy)):
+        for b in rng.integers(0, 256, 6):
+            noisy[i, b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+    wid2 = np.asarray(voc.transform(vocab, jnp.asarray(noisy), ones)[0])
+    assert (wid == wid2).mean() >= 0.7
+
+
+def test_transform_bow_is_l1_normalized_and_masked():
+    rng = np.random.default_rng(1)
+    desc = _random_desc(rng, 64)
+    vocab = voc.train_vocabulary(desc, k=3, levels=2, seed=0)
+    valid = np.zeros(64, bool)
+    valid[:40] = True
+    _, bow = voc.transform(vocab, jnp.asarray(desc), jnp.asarray(valid))
+    bow = np.asarray(bow)
+    assert bow.shape == (9,)
+    assert abs(bow.sum() - 1.0) < 1e-5
+    # All-invalid input → zero vector (scores 0 against everything).
+    _, bow0 = voc.transform(vocab, jnp.asarray(desc),
+                            jnp.zeros(64, bool))
+    assert float(jnp.sum(bow0)) == 0.0
+
+
+def test_l1_score_bounds_and_identity():
+    rng = np.random.default_rng(2)
+    desc = _random_desc(rng, 128)
+    vocab = voc.train_vocabulary(desc, k=4, levels=2, seed=0)
+    rows = []
+    for i in range(4):
+        _, b = voc.transform(vocab, jnp.asarray(desc[i * 32:(i + 1) * 32]),
+                             jnp.ones(32, bool))
+        rows.append(b)
+    db = jnp.stack(rows)
+    s = np.asarray(voc.score_database(db, db[2]))
+    assert s.shape == (4,)
+    assert np.all(s <= 1.0 + 1e-6) and np.all(s >= -1e-6)
+    assert s.argmax() == 2 and s[2] > 0.999
+
+
+def test_scoring_discriminates_rendered_views():
+    """Same rendered viewpoint scores itself higher than a far viewpoint
+    — the loop-recall property the DBoW2 database provides."""
+    cfg = default_config()
+    seq = synthetic.make_synthetic_sequence(cfg, n_frames=8, n_landmarks=60,
+                                            seed=5, frame_dt=0.4)
+    imgs = synthetic.render_sequence_images(seq, cfg, seed=5)
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(60, 400, (128, 2)).astype(np.float32)
+    ok = jnp.ones(128, bool)
+    descs = [np.asarray(brief_mod.extract_brief(jnp.asarray(im),
+                                                jnp.asarray(pts), ok))
+             for im in imgs]
+    pool = np.concatenate(descs)
+    img_ids = np.repeat(np.arange(len(imgs)), 128)
+    vocab = voc.train_vocabulary(pool, k=6, levels=2, seed=0,
+                                 image_ids=img_ids)
+    bows = jnp.stack([voc.transform(vocab, jnp.asarray(d), ok)[1]
+                      for d in descs])
+    # Query frame 0 with a slightly perturbed re-observation of frame 0.
+    pts2 = pts + rng.normal(0, 1.0, pts.shape).astype(np.float32)
+    d2 = brief_mod.extract_brief(jnp.asarray(imgs[0]), jnp.asarray(pts2), ok)
+    _, q = voc.transform(vocab, d2, ok)
+    s = np.asarray(voc.score_database(bows, q))
+    assert s.argmax() == 0, f"revisit did not match its own view: {s}"
+    assert s[0] > s[len(imgs) // 2] + 0.05
+
+
+def test_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(4)
+    desc = _random_desc(rng, 80)
+    vocab = voc.train_vocabulary(desc, k=3, levels=3, seed=0)
+    path = os.path.join(tmp_path, "vocab.npz")
+    voc.save_vocabulary(path, vocab)
+    v2 = voc.load_vocabulary(path)
+    assert v2.k == vocab.k and v2.depth == vocab.depth
+    for a, b in zip(vocab.levels, v2.levels):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(vocab.weights),
+                               np.asarray(v2.weights))
+    wid1, b1 = voc.transform(vocab, jnp.asarray(desc), jnp.ones(80, bool))
+    wid2, b2 = voc.transform(v2, jnp.asarray(desc), jnp.ones(80, bool))
+    np.testing.assert_array_equal(np.asarray(wid1), np.asarray(wid2))
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-6)
+
+
+def test_empty_branch_words_are_zero_weight():
+    """With more words than descriptors, unused leaves get zero idf weight
+    and never dominate a score."""
+    rng = np.random.default_rng(5)
+    desc = _random_desc(rng, 10)
+    vocab = voc.train_vocabulary(desc, k=5, levels=3, seed=0)  # 125 words
+    w = np.asarray(vocab.weights)
+    assert (w > 0).sum() <= 10
+    assert w.shape == (125,)

@@ -127,8 +127,19 @@ class LoopConfig:
     max_kf_features: int = 512       # FAST corners per keyframe for BRIEF
     dislocal: int = 20               # exclude this many recent keyframes from query
     similarity_alpha: float = 0.3    # normalized-similarity gate (demoDetector.h:126)
-    min_similarity: float = 0.15     # absolute cosine-score floor
+    min_similarity: float = 0.15     # absolute cosine-score floor (grid scorer)
     temporal_k: int = 1              # temporal consistency matches (demoDetector.h:128)
+    # Place recognition: "bow" = hierarchical tf-idf vocabulary tree
+    # (DBoW2 parity, loop/vocabulary.py), "grid" = spatially-pooled
+    # binary-statistics descriptor (ops/brief.global_descriptor).
+    place_recognition: str = "bow"
+    vocab_k: int = 10                # tree branching (reference: k=10)
+    vocab_levels: int = 3            # tree depth (reference: L=6, 1e6 words;
+                                     # 1e3 words is ample at ≤512 keyframes)
+    vocab_train_after: int = 16      # auto-train once this many kf exist
+    vocab_train_iters: int = 6       # Lloyd iterations per tree node
+    min_similarity_bow: float = 0.04  # absolute L1-score floor (BoW scorer)
+    island_gap: int = 3              # entry-id gap closing match islands
     yaw_reject_deg: float = 30.0     # loop sanity: |yaw|>30° rejected
     trans_reject_m: float = 10.0     # loop sanity: |t|>10 m rejected
     pose_graph_iters: int = 12

@@ -9,6 +9,10 @@ geometric verification, and a jitted LM pose-graph solve.
 """
 from .keyframe_db import KeyframeDB, LoopCloser, LoopHit
 from .pose_graph import PoseGraph, optimize_pose_graph, drift_from_solution
+from .vocabulary import (Vocabulary, load_vocabulary, save_vocabulary,
+                         score_database, train_vocabulary, transform)
 
 __all__ = ["KeyframeDB", "LoopCloser", "LoopHit", "PoseGraph",
-           "optimize_pose_graph", "drift_from_solution"]
+           "optimize_pose_graph", "drift_from_solution", "Vocabulary",
+           "train_vocabulary", "transform", "score_database",
+           "save_vocabulary", "load_vocabulary"]

@@ -35,6 +35,7 @@ from ..ops import ransac as ransac_mod
 from ..utils import camera as cam_mod
 from ..utils import lie
 from .pose_graph import PoseGraph, drift_from_solution, optimize_pose_graph
+from . import vocabulary as vocab_mod
 
 
 class KeyframeDB(NamedTuple):
@@ -199,8 +200,13 @@ class LoopCloser:
     """
 
     def __init__(self, cfg: VinsConfig, seed: int = 0,
-                 ext: Optional[Tuple[jax.Array, jax.Array]] = None):
-        """ext: (tic, qic) camera-IMU extrinsics; identity if None."""
+                 ext: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 vocab: Optional[vocab_mod.Vocabulary] = None):
+        """ext: (tic, qic) camera-IMU extrinsics; identity if None.
+        vocab: pre-trained BoW vocabulary; when None and
+        cfg.loop.place_recognition == "bow", one is trained automatically
+        from the first `vocab_train_after` keyframes' descriptors (the
+        reference instead ships a pre-trained brief_k10L6.bin blob)."""
         self.cfg = cfg
         if ext is None:
             self.tic = jnp.zeros(3, jnp.float32)
@@ -218,6 +224,35 @@ class LoopCloser:
         self.r_drift = np.eye(3, dtype=np.float32)
         self.t_drift = np.zeros(3, dtype=np.float32)
         self.segment = 0
+        # BoW place recognition state (dense [K, n_words] tf-idf rows).
+        self.vocab = vocab
+        self.bow = jnp.zeros((K, lp.vocab_k ** lp.vocab_levels),
+                             jnp.float32)
+
+    # -- vocabulary --------------------------------------------------------
+
+    def _bow_row(self, idx: int) -> None:
+        """(Re)compute the BoW vector for DB row idx with self.vocab."""
+        _, bow = vocab_mod.transform(self.vocab, self.db.desc[idx],
+                                     self.db.kp_ok[idx])
+        self.bow = self.bow.at[idx].set(bow)
+
+    def _maybe_train_vocab(self) -> None:
+        """Auto-train the vocabulary once enough keyframes accumulated,
+        then retro-fill BoW rows for every stored keyframe."""
+        lp = self.cfg.loop
+        n = int(self.db.count)
+        if (self.vocab is not None or lp.place_recognition != "bow"
+                or n < lp.vocab_train_after):
+            return
+        desc = np.asarray(self.db.desc[:n]).reshape(-1, 8)
+        ok = np.asarray(self.db.kp_ok[:n]).reshape(-1)
+        img_ids = np.repeat(np.arange(n), self.Nf)
+        self.vocab = vocab_mod.train_vocabulary(
+            desc[ok], k=lp.vocab_k, levels=lp.vocab_levels,
+            iters=lp.vocab_train_iters, image_ids=img_ids[ok])
+        for i in range(n):
+            self._bow_row(i)
 
     # -- insertion ---------------------------------------------------------
 
@@ -252,6 +287,10 @@ class LoopCloser:
         self.db = _add_row(self.db, jnp.asarray(idx), p_corr, q_corr, gdesc,
                            desc, kp_norm, pts_px, pts_w, pts_ok, kp_ok,
                            jnp.asarray(self.segment, jnp.int32))
+        if self.vocab is not None:
+            self._bow_row(idx)
+        else:
+            self._maybe_train_vocab()
         # Mirror into the pose graph nodes.
         ypr = lie.rotmat_to_ypr(lie.quat_to_rotmat(q_corr))
         self.graph = self.graph._replace(
@@ -264,6 +303,23 @@ class LoopCloser:
 
     # -- detection ---------------------------------------------------------
 
+    def _place_scores(self, cur_idx: int) -> Tuple[np.ndarray, float]:
+        """Similarity of keyframe cur_idx to every DB row + the
+        normalizing score vs the previous keyframe (demoDetector's
+        ns_factor). Uses the BoW vocabulary scorer when available, the
+        grid global descriptor otherwise."""
+        lp = self.cfg.loop
+        if lp.place_recognition == "bow" and self.vocab is not None:
+            scores = np.array(vocab_mod.score_database(
+                self.bow, self.bow[cur_idx]))
+            floor = lp.min_similarity_bow
+        else:
+            scores = np.array(_db_scores(self.db.gdesc,
+                                         self.db.gdesc[cur_idx]))
+            floor = lp.min_similarity
+        ns = float(scores[cur_idx - 1]) if cur_idx >= 1 else 1.0
+        return scores, max(lp.similarity_alpha * ns, floor)
+
     def detect(self, cur_idx: int) -> Optional[LoopHit]:
         """Query keyframe cur_idx against all older keyframes."""
         lp = self.cfg.loop
@@ -272,26 +328,30 @@ class LoopCloser:
             self.last_match = None
             return None
 
-        scores = np.array(_db_scores(self.db.gdesc, self.db.gdesc[cur_idx]))
-        # Normalizing score: similarity to the previous keyframe
-        # (demoDetector's ns_factor role).
-        ns = float(scores[cur_idx - 1]) if cur_idx >= 1 else 1.0
+        # Relative gate vs the previous-keyframe score (demoDetector
+        # alpha) with an absolute floor: grid cosine scores are signed
+        # and BoW scores of unrelated views are near 0, so a small ns
+        # must not make the gate vacuous.
+        scores, gate = self._place_scores(cur_idx)
         scores[max(0, cur_idx - lp.dislocal):] = -1.0  # dislocal + self/future
         # Different segments can't loop (failure resets trajectory frame).
         seg = np.asarray(self.db.segment)
         scores[seg != seg[cur_idx]] = -1.0
 
-        best = int(np.argmax(scores[:n]))
-        best_score = float(scores[best])
-        # Relative gate vs the previous-keyframe score (demoDetector alpha)
-        # with an absolute floor: cosine scores are signed, so a small or
-        # negative ns must not make the gate vacuous.
-        gate = max(lp.similarity_alpha * ns, lp.min_similarity)
-        if best_score < gate:
+        # Island grouping (TemplatedLoopDetector.h:890+): adjacent
+        # above-gate entries form islands scored by their sum; the match
+        # is the best entry of the best island.
+        cand = np.where(scores[:n] >= gate)[0]
+        if len(cand) == 0:
             self.last_match = None
             return None
+        splits = np.where(np.diff(cand) > lp.island_gap)[0] + 1
+        islands = np.split(cand, splits)
+        best_island = max(islands, key=lambda isl: scores[isl].sum())
+        best = int(best_island[np.argmax(scores[best_island])])
 
-        # Temporal consistency (k=1): previous query matched nearby.
+        # Temporal consistency (k=1): previous query matched nearby
+        # (previous island overlaps / is adjacent to this one).
         consistent = (self.last_match is not None
                       and abs(self.last_match - best) <= 10)
         self.last_match = best
@@ -428,6 +488,7 @@ class LoopCloser:
             count=jnp.asarray(m, jnp.int32),
             **{f: compact(getattr(self.db, f))
                for f in KeyframeDB._fields if f != "count"})
+        self.bow = compact(self.bow)
         g = self.graph
         self.graph = g._replace(
             t=compact(g.t), yaw=compact(g.yaw), pitch=compact(g.pitch),
