@@ -13,8 +13,10 @@ closed-form position/velocity/acceleration/angular-rate exist everywhere.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+import functools
+from typing import NamedTuple, Tuple
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -288,20 +290,48 @@ def make_synthetic_sequence(
 # ---------------------------------------------------------------------------
 
 
-def _value_texture(pts: np.ndarray, rng: np.random.Generator,
-                   n_waves: int = 96) -> np.ndarray:
-    """Band-limited procedural 3D texture: sum of random cosine waves.
-    pts: [..., 3] world coords → brightness in ~[0,1]."""
-    freqs = rng.uniform(0.5, 25.0, (n_waves, 3)).astype(np.float32)
-    # Random directions, frequency magnitude shaped 1/f for natural look.
-    mags = np.linalg.norm(freqs, axis=1, keepdims=True)
-    amps = (1.0 / mags[:, 0]) ** 0.5
-    amps = (amps / amps.sum()).astype(np.float32)
-    phases = rng.uniform(0, 2 * np.pi, n_waves).astype(np.float32)
-    acc = np.zeros(pts.shape[:-1], np.float32)
-    for k in range(n_waves):
-        acc += amps[k] * np.cos(pts @ freqs[k] + phases[k])
-    return 0.5 + 1.6 * acc
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def _render_frames_device(p_cam: jax.Array, R_wc: jax.Array,
+                          dirs_c: jax.Array, waves: Tuple[jax.Array, ...],
+                          noise_key: jax.Array, params: jax.Array,
+                          H: int, W: int) -> jax.Array:
+    """Ray-cast all frames on device, one frame per lax.map step.
+
+    p_cam/R_wc: [N,3] camera centers, [N,3,3] camera→world rotations;
+    dirs_c: [H,W,3] unit camera-frame ray dirs; waves: (freqs [K,3],
+    amps [K], phases [K]) texture basis; params: [4] = (wall_radius,
+    floor_z, ceil_z, noise_sigma). The texture sum is one [HW,3]@[3,K]
+    matmul + cos + [HW,K]@[K] contraction — MXU/VPU work instead of the
+    former 96-iteration host numpy loop (~1 s/frame)."""
+    freqs, amps, phases = waves
+    wall_radius, floor_z, ceil_z, noise_sigma = (params[0], params[1],
+                                                 params[2], params[3])
+
+    def one(args):
+        o, R, key = args
+        d = dirs_c @ R.T                              # [H,W,3] world dirs
+        # Cylinder x²+y²=R²: t from quadratic (camera strictly inside).
+        a = d[..., 0] ** 2 + d[..., 1] ** 2
+        b = 2 * (o[0] * d[..., 0] + o[1] * d[..., 1])
+        c = o[0] ** 2 + o[1] ** 2 - wall_radius ** 2
+        disc = jnp.maximum(b * b - 4 * a * c, 0.0)
+        t_cyl = (-b + jnp.sqrt(disc)) / jnp.maximum(2 * a, 1e-9)
+        # Floor / ceiling planes.
+        dz = d[..., 2]
+        safe = jnp.where(jnp.abs(dz) < 1e-6, jnp.sign(dz) * 1e-6 + 1e-12,
+                         dz)
+        t_flo = jnp.where(dz < -1e-6, (floor_z - o[2]) / safe, jnp.inf)
+        t_cei = jnp.where(dz > 1e-6, (ceil_z - o[2]) / safe, jnp.inf)
+        t_hit = jnp.minimum(jnp.minimum(t_cyl, t_flo), t_cei)
+        pts = (o + d * t_hit[..., None]).reshape(-1, 3)
+        ang = pts @ freqs.T + phases[None, :]         # [HW, K]
+        tex = 0.5 + 1.6 * (jnp.cos(ang) @ amps)
+        img = jnp.clip(0.15 + 0.55 * jnp.clip(tex, 0.0, 1.3), 0.0, 1.0)
+        img = img + noise_sigma * jax.random.normal(key, img.shape)
+        return jnp.clip(img, 0.0, 1.0).reshape(H, W)
+
+    keys = jax.random.split(noise_key, p_cam.shape[0])
+    return jax.lax.map(one, (p_cam, R_wc, keys))
 
 
 def render_sequence_images(seq: SyntheticSequence, cfg: VinsConfig,
@@ -314,51 +344,44 @@ def render_sequence_images(seq: SyntheticSequence, cfg: VinsConfig,
     room (walls at `wall_radius`, floor/ceiling planes) around the
     trajectory. Every pixel's world point is exact, so parallax, optical
     flow, and triangulation ground truth are all geometrically consistent —
-    unlike sprite-based rendering. ~50 MFLOP/frame in vectorized numpy."""
+    unlike sprite-based rendering. Runs fully on device
+    (_render_frames_device); the wave-texture basis matches the one used
+    by ground_truth_correspondence's geometry."""
     rng = np.random.default_rng(seed + 77)
     H, W = cfg.camera.height, cfg.camera.width
     fx, fy, cx, cy = (cfg.camera.fx, cfg.camera.fy,
                       cfg.camera.cx, cfg.camera.cy)
-    N = seq.p.shape[0]
 
     u, v = np.meshgrid(np.arange(W, dtype=np.float32),
                        np.arange(H, dtype=np.float32))
     dirs_c = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
     dirs_c /= np.linalg.norm(dirs_c, axis=-1, keepdims=True)
 
+    # Texture wave basis (must be derived from the same rng stream as the
+    # previous per-frame construction so textures stay band-limited 1/f).
+    tex_rng = np.random.default_rng(seed + 77)
+    n_waves = 96
+    freqs = tex_rng.uniform(0.5, 25.0, (n_waves, 3)).astype(np.float32)
+    mags = np.linalg.norm(freqs, axis=1, keepdims=True)
+    amps = (1.0 / mags[:, 0]) ** 0.5
+    amps = (amps / amps.sum()).astype(np.float32)
+    phases = tex_rng.uniform(0, 2 * np.pi, n_waves).astype(np.float32)
+
     R_ic = np.asarray(lie.quat_to_rotmat(seq.ext.qic))
     t_ic = np.asarray(seq.ext.tic)
     Rwb = np.asarray(lie.quat_to_rotmat(seq.q))
     p_f = np.asarray(seq.p)
+    R_wc = np.einsum("nij,jk->nik", Rwb, R_ic)
+    p_cam = p_f + np.einsum("nij,j->ni", Rwb, t_ic)
 
-    imgs = np.empty((N, H, W), np.float32)
-    for f in range(N):
-        R_wc = Rwb[f] @ R_ic
-        o = p_f[f] + Rwb[f] @ t_ic                    # camera center, world
-        d = dirs_c @ R_wc.T                           # [H,W,3] world dirs
-
-        # Cylinder x²+y²=R²: t from quadratic (camera strictly inside).
-        a = d[..., 0] ** 2 + d[..., 1] ** 2
-        b = 2 * (o[0] * d[..., 0] + o[1] * d[..., 1])
-        c = o[0] ** 2 + o[1] ** 2 - wall_radius ** 2
-        disc = np.maximum(b * b - 4 * a * c, 0.0)
-        t_cyl = (-b + np.sqrt(disc)) / np.maximum(2 * a, 1e-9)
-
-        # Floor / ceiling planes.
-        dz = d[..., 2]
-        t_flo = np.where(dz < -1e-6, (floor_z - o[2]) / np.where(
-            np.abs(dz) < 1e-6, -1e-6, dz), np.inf)
-        t_cei = np.where(dz > 1e-6, (ceil_z - o[2]) / np.where(
-            np.abs(dz) < 1e-6, 1e-6, dz), np.inf)
-        t_hit = np.minimum(np.minimum(t_cyl, t_flo), t_cei)
-        pts = o + d * t_hit[..., None]
-
-        tex = _value_texture(pts.astype(np.float32), 
-                             np.random.default_rng(seed + 77))
-        img = np.clip(0.15 + 0.55 * np.clip(tex, 0.0, 1.3), 0.0, 1.0)
-        img += rng.normal(0.0, noise_sigma, img.shape).astype(np.float32)
-        imgs[f] = np.clip(img, 0.0, 1.0)
-    return imgs
+    imgs = _render_frames_device(
+        jnp.asarray(p_cam, jnp.float32), jnp.asarray(R_wc, jnp.float32),
+        jnp.asarray(dirs_c), (jnp.asarray(freqs), jnp.asarray(amps),
+                              jnp.asarray(phases)),
+        jax.random.PRNGKey(rng.integers(2 ** 31)),
+        jnp.asarray([wall_radius, floor_z, ceil_z, noise_sigma],
+                    jnp.float32), H, W)
+    return np.asarray(imgs)
 
 
 def ground_truth_correspondence(seq: SyntheticSequence, cfg: VinsConfig,
