@@ -43,6 +43,41 @@ from .loop.keyframe_db import LoopCloser
 from .utils import lie
 
 
+def _np_quat_to_rotmat(q: np.ndarray) -> np.ndarray:
+    """Host-side quaternion (w,x,y,z) → rotation matrix (numpy only: the
+    drift-correct path runs per frame and must not dispatch device ops)."""
+    w, x, y, z = [float(v) for v in q]
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
+def _np_rotmat_to_quat(R: np.ndarray) -> np.ndarray:
+    """Host-side rotation matrix → quaternion (w,x,y,z), Shepperd's
+    branch-free-enough variant."""
+    t = float(np.trace(R))
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+        v = np.zeros(3)
+        v[i] = 0.25 * s
+        v[j] = (R[j, i] + R[i, j]) / s
+        v[k] = (R[k, i] + R[i, k]) / s
+        w = (R[k, j] - R[j, k]) / s
+        x, y, z = v
+    q = np.array([w, x, y, z], np.float32)
+    return q / np.linalg.norm(q)
+
+
 class PipelineOutput(NamedTuple):
     """Per-frame result published to the consumer (viz/AR/eval)."""
 
@@ -94,6 +129,37 @@ class VinsSystem:
         self._ingest = jax.jit(fm.ingest_frame)
         self._refine_init = None  # compiled lazily on first init attempt
 
+        from .core import marginalization as marg
+        self._merge_jit = jax.jit(marg.merge_chunks)
+
+        F = cfg.window.num_frames
+        S = cfg.window.pnp_size + 1
+
+        def _sync_pnp_impl(pnp, est):
+            win = est.window
+            pnp = pnp_mod.anchor_from_backend(
+                pnp, jnp.asarray(S - 1), win.p[F - 1], win.q[F - 1],
+                win.v[F - 1], win.ba[F - 1], win.bg[F - 1])
+            pts_w = landmark_world_points(win, est.feats, self.ext)
+            valid = est.feats.valid & (win.inv_depth > 1e-3)
+            track_len = jnp.sum(est.feats.mask, axis=0)
+            return pnp_mod.update_features(pnp, pts_w, valid, track_len)
+
+        self._sync_pnp_jit = jax.jit(_sync_pnp_impl)
+
+        def _kf_prep_impl(est, tracker_state):
+            """World points in tracker-slot order + newest pose, one
+            device program (feeds LoopCloser.add_keyframe)."""
+            win = est.window
+            pts_w = landmark_world_points(win, est.feats, self.ext)
+            pts_w_t, has_t = VinsSystem._gather_by_id(
+                tracker_state.ids, est.feats.track_id, pts_w,
+                est.feats.valid & (win.inv_depth > 1e-3))
+            return (pts_w_t, has_t & tracker_state.valid,
+                    win.p[F - 1], win.q[F - 1])
+
+        self._kf_prep_jit = jax.jit(_kf_prep_impl)
+
         self.reset()
 
     # -- lifecycle ----------------------------------------------------------
@@ -129,10 +195,9 @@ class VinsSystem:
     # -- helpers ------------------------------------------------------------
 
     def _merge_pending(self, chunk: pre_mod.ImuChunk) -> pre_mod.ImuChunk:
-        from .core import marginalization as marg
         if self._pending_chunk is None:
             return chunk
-        return marg.merge_chunks(self._pending_chunk, chunk)
+        return self._merge_jit(self._pending_chunk, chunk)
 
     @staticmethod
     @jax.jit
@@ -146,14 +211,16 @@ class VinsSystem:
         j = jnp.argmax(eq, axis=1)
         return jax.tree.map(lambda v: v[j], src_vals), has
 
-    def _drift_correct(self, p, q):
+    def _drift_correct(self, p: np.ndarray, q: np.ndarray):
+        """Apply the pose-graph drift on HOST arrays (numpy only — this
+        runs every frame; device ops here would cost a dispatch round
+        trip each)."""
         if self.loop is None:
-            return np.asarray(p), np.asarray(q)
+            return p, q
         R = self.loop.r_drift
         t = self.loop.t_drift
-        p2 = R @ np.asarray(p) + t
-        q2 = np.asarray(lie.rotmat_to_quat(jnp.asarray(
-            R @ np.asarray(lie.quat_to_rotmat(q)))))
+        p2 = (R @ p + t).astype(np.float32)
+        q2 = _np_rotmat_to_quat(R @ _np_quat_to_rotmat(q))
         return p2, q2
 
     # -- main entry ---------------------------------------------------------
@@ -165,7 +232,6 @@ class VinsSystem:
         F = cfg.window.num_frames
 
         front = self.tracker.process(img)
-        n_tracked = int(front.n_tracked)
 
         is_backend_frame = (self.frame_idx % cfg.freq) == 0
         self.frame_idx += 1
@@ -227,10 +293,12 @@ class VinsSystem:
         self.initialized = True
         self.boot.clear()
         self._sync_pnp_from_backend()
-        p, q = self._drift_correct(window.p[F - 1], window.q[F - 1])
+        p_raw, q_raw, ntr = jax.device_get(
+            (window.p[F - 1], window.q[F - 1], front.n_tracked))
+        p, q = self._drift_correct(p_raw, q_raw)
         return PipelineOutput(
-            t=t, p=p, q=q, p_raw=np.asarray(window.p[F - 1]),
-            is_keyframe=True, initialized=True, n_tracked=int(front.n_tracked),
+            t=t, p=p, q=q, p_raw=p_raw,
+            is_keyframe=True, initialized=True, n_tracked=int(ntr),
             solver_cost=float(cost), loop_hit=None)
 
     # -- NON_LINEAR ---------------------------------------------------------
@@ -254,10 +322,14 @@ class VinsSystem:
         if not is_backend_frame:
             self._pending_chunk = merged
             if self.use_pnp:
-                p, q = self._drift_correct(p30, q30)
+                # ONE host↔device round trip for everything this frame
+                # needs on the host.
+                p30_h, q30_h, ntr = jax.device_get(
+                    (p30, q30, front.n_tracked))
+                p, q = self._drift_correct(p30_h, q30_h)
                 return PipelineOutput(
-                    t=t, p=p, q=q, p_raw=np.asarray(p30), is_keyframe=False,
-                    initialized=True, n_tracked=int(front.n_tracked),
+                    t=t, p=p, q=q, p_raw=p30_h, is_keyframe=False,
+                    initialized=True, n_tracked=int(ntr),
                     solver_cost=0.0, loop_hit=None)
             return self._null_output(t, front, initialized=True)
 
@@ -266,24 +338,28 @@ class VinsSystem:
                          obs_valid=front.obs_valid)
         self.est, out = self._backend_step(self.est, inp)
 
-        if bool(out.failure):
+        # Single combined fetch of every scalar/pose the host logic reads.
+        failure, is_kf, pose_p, pose_q, cost, ntr = jax.device_get(
+            (out.failure, out.is_keyframe, out.pose_p, out.pose_q,
+             out.stats.final_cost, front.n_tracked))
+
+        if bool(failure):
             self._fail_reset()
             return self._null_output(t, front, status="FAILURE")
 
         self._sync_pnp_from_backend()
 
         loop_hit = None
-        if self.use_loop and bool(out.is_keyframe):
+        if self.use_loop and bool(is_kf):
             self.kf_count += 1
             if self.kf_count % cfg.loop.loop_freq == 0:
                 loop_hit = self._handle_keyframe(img, out)
 
-        p, q = self._drift_correct(out.pose_p, out.pose_q)
+        p, q = self._drift_correct(pose_p, pose_q)
         return PipelineOutput(
-            t=t, p=p, q=q, p_raw=np.asarray(out.pose_p),
-            is_keyframe=bool(out.is_keyframe), initialized=True,
-            n_tracked=int(front.n_tracked),
-            solver_cost=float(out.stats.final_cost),
+            t=t, p=p, q=q, p_raw=pose_p,
+            is_keyframe=bool(is_kf), initialized=True,
+            n_tracked=int(ntr), solver_cost=float(cost),
             loop_hit=loop_hit)
 
     def _sync_pnp_from_backend(self):
@@ -291,32 +367,15 @@ class VinsSystem:
         refresh its fixed landmark map (ViewController.mm:731-758)."""
         if not self.use_pnp:
             return
-        F = self.cfg.window.num_frames
-        S = self.cfg.window.pnp_size + 1
-        win = self.est.window
-        self.pnp = pnp_mod.anchor_from_backend(
-            self.pnp, jnp.asarray(S - 1), win.p[F - 1], win.q[F - 1],
-            win.v[F - 1], win.ba[F - 1], win.bg[F - 1])
-        pts_w = landmark_world_points(win, self.est.feats, self.ext)
-        valid = self.est.feats.valid & (win.inv_depth > 1e-3)
-        track_len = jnp.sum(self.est.feats.mask, axis=0)
-        self.pnp = pnp_mod.update_features(self.pnp, pts_w, valid, track_len)
+        self.pnp = self._sync_pnp_jit(self.pnp, self.est)
 
     def _handle_keyframe(self, img, out) -> Optional[int]:
         """Insert keyframe + loop detect + pose-graph optimize."""
-        F = self.cfg.window.num_frames
-        win = self.est.window
-        feats = self.est.feats
-        pts_w = landmark_world_points(win, feats, self.ext)   # [L]
-        obs_px = self.tracker.state.pts                       # [Mt]
-        # World points in tracker-slot order for the keyframe features.
-        pts_w_t, has_t = self._gather_by_id(
-            self.tracker.state.ids, feats.track_id, pts_w,
-            feats.valid & (win.inv_depth > 1e-3))
+        pts_w_t, ok_t, kf_p, kf_q = self._kf_prep_jit(
+            self.est, self.tracker.state)
         idx = self.loop.add_keyframe(
-            img, win.p[F - 1], win.q[F - 1], obs_px,
-            self.tracker.state.valid, pts_w_t,
-            has_t & self.tracker.state.valid)
+            img, kf_p, kf_q, self.tracker.state.pts,
+            self.tracker.state.valid, pts_w_t, ok_t)
         hit = self.loop.detect(idx)
         if hit is not None:
             self.loop.optimize()
