@@ -1,16 +1,21 @@
-"""End-to-end VIO throughput benchmark (driver-run, real TPU).
+"""End-to-end throughput benchmark (driver-run, real TPU).
 
-Measures full backend VIO frames/s — the sliding-window solve, feature
-bookkeeping, preintegration repropagation, marginalization, and window
-slide per frame (the reference's 10 Hz "solve_ceres + marginalization"
-path, VINS_ios/VINS.cpp:480-830) — by replaying a synthetic sequence
-through `run_sequence_scan` (one compiled program, host dispatch
-amortized) and through data-parallel streams when >1 device is present.
+Two measurements:
 
-Prints ONE JSON line:
-  {"metric": "vio_frames_per_s", "value": N, "unit": "frames/s",
-   "vs_baseline": N / 200.0}
-Baseline: BASELINE.md north star >200 frames/s full VIO on one v5e chip.
+  * system_frames_per_s — the HEADLINE metric and the one judged against
+    BASELINE.md's ">200 frames/s full VIO + loop closure on one v5e":
+    rendered 640x480 frames + IMU chunks through the FULL pipeline —
+    CLAHE, pyramid, fused-Pallas KLT, F-RANSAC, corner top-up, the 30 Hz
+    motion-only solver, the complete sliding-window backend (solve +
+    marginalization + slide) at freq=3, pnp resync, keyframe harvest, and
+    host-side loop closure (BoW detect + pose graph) — via the pipelined
+    block scan (pipeline.VinsSystem.process_stream / stream.run_vio_scan).
+
+  * vio_frames_per_s — the backend-only rate (solve+marg+slide per frame,
+    the reference's 10 Hz solve_ceres path, VINS_ios/VINS.cpp:480-830),
+    kept for continuity with round-1 numbers.
+
+Prints ONE JSON line with the system metric as primary.
 """
 import json
 import sys
@@ -21,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_inputs(cfg, n_frames, seed=0):
+def build_backend_inputs(cfg, n_frames, seed=0):
     from vins_tpu.core.estimator import BackendState, FrameInput
     from vins_tpu.io import synthetic
 
@@ -30,8 +35,6 @@ def build_inputs(cfg, n_frames, seed=0):
         cfg, n_frames=F + n_frames, n_landmarks=300, seed=seed,
         noise_px=0.5, frame_dt=0.1)
 
-    # Bootstrap the window from ground truth (benchmarks the steady-state
-    # NON_LINEAR path; init is a one-shot cost, not throughput).
     from vins_tpu.core import feature_manager as fm
     from vins_tpu.core.state import FeatureTable
 
@@ -52,17 +55,12 @@ def build_inputs(cfg, n_frames, seed=0):
     return est, inputs, seq.ext, seq.gravity
 
 
-def main():
-    from vins_tpu import default_config
+def bench_backend(cfg, n_frames=256):
+    """Backend-only frames/s via run_sequence_scan (one device program)."""
     from vins_tpu.core.estimator import run_sequence_scan
 
-    cfg = default_config()
-    n_frames = 256
-    est, inputs, ext, gravity = build_inputs(cfg, n_frames)
-
+    est, inputs, ext, gravity = build_backend_inputs(cfg, n_frames)
     run = jax.jit(lambda e, i: run_sequence_scan(e, i, cfg, ext, gravity))
-
-    # Warmup/compile.
     e2, out = run(est, inputs)
     jax.block_until_ready(out.pose_p)
 
@@ -72,16 +70,90 @@ def main():
         e2, out = run(est, inputs)
     jax.block_until_ready(out.pose_p)
     dt = (time.perf_counter() - t0) / n_rep
+    return n_frames / dt
 
-    fps = n_frames / dt
 
-    # Data-parallel scale-up on one chip (stream batching) if it helps.
-    n_dev = len(jax.devices())
+def bench_system(cfg, n_frames=288, block=48, seed=7):
+    """Full-pipeline frames/s: frontend + pnp + backend + loop closure.
+
+    The sequence revisits its own path (full circle) so loop closure has
+    real work; the INITIAL phase and the first (compile) pass are
+    untimed, as is staging the frames into HBM.
+    """
+    from vins_tpu.io import synthetic
+    from vins_tpu.pipeline import VinsSystem
+
+    F = cfg.window.num_frames
+    n_total = n_frames + 48  # lead-in for bootstrap
+    seq = synthetic.make_synthetic_sequence(
+        cfg, n_frames=n_total, n_landmarks=300, seed=seed,
+        frame_dt=1.0 / 30.0, traj_kwargs=dict(w=0.35, bob=0.15),
+        imu_per_frame=4)
+    imgs = synthetic.render_sequence_images(seq, cfg, seed=seed)
+
+    sys_ = VinsSystem(cfg, use_loop=True, ext=seq.ext)
+    k = 0
+    while k < 48 and not sys_.initialized:
+        chunk = jax.tree.map(lambda x: x[k], seq.chunks)
+        sys_.process_frame(jnp.asarray(imgs[k]), chunk,
+                           t=float(seq.timestamps[k]))
+        k += 1
+    if not sys_.initialized:
+        # Fall back to a ground-truth bootstrap so the throughput
+        # measurement still runs (init quality is covered by tests).
+        from vins_tpu.core.estimator import BackendState
+        from vins_tpu.core import feature_manager as fm
+        from vins_tpu.core.state import FeatureTable
+
+        feats = FeatureTable.empty(F, cfg.window.max_landmarks)
+        for f in range(F):
+            feats = fm.ingest_frame(feats, jnp.asarray(f), seq.ids[f],
+                                    seq.obs[f], seq.obs_valid[f])
+        chunks_b = jax.tree.map(lambda x: x[1:F], seq.chunks)
+        win = BackendState.fresh(cfg).window._replace(
+            p=seq.p[:F], q=seq.q[:F], v=seq.v[:F])
+        win = fm.triangulate(win, feats, seq.ext, cfg)
+        sys_.est = BackendState.bootstrap(cfg, win, feats, chunks_b,
+                                          seq.ext, seq.gravity)
+        sys_.initialized = True
+        sys_.frame_idx = F
+        k = F
+
+    # Stage the measured frames on device once (not timed).
+    imgs_dev = jax.device_put(jnp.asarray(imgs[k:k + n_frames]))
+    chunks_dev = jax.tree.map(
+        lambda x: jax.device_put(x[k:k + n_frames]), seq.chunks)
+
+    # Warm/compile pass over the first block (not timed).
+    warm = sys_.process_block(imgs_dev[:block],
+                              jax.tree.map(lambda x: x[:block], chunks_dev))
+    assert all(o.initialized for o in warm), "pipeline failed during warmup"
+
+    n_meas = n_frames - block
+    t0 = time.perf_counter()
+    outs = sys_.process_stream(imgs_dev[block:], jax.tree.map(
+        lambda x: x[block:], chunks_dev), block=block)
+    dt = time.perf_counter() - t0
+    assert len(outs) == n_meas and all(o.initialized for o in outs), \
+        "pipeline failed during measurement"
+    n_kf = sum(1 for o in outs if o.is_keyframe)
+    return n_meas / dt, n_kf
+
+
+def main():
+    from vins_tpu import default_config
+
+    cfg = default_config()
+    sys_fps, n_kf = bench_system(cfg)
+    vio_fps = bench_backend(cfg)
+
     result = {
-        "metric": "vio_frames_per_s",
-        "value": round(fps, 2),
+        "metric": "system_frames_per_s",
+        "value": round(sys_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 200.0, 3),
+        "vs_baseline": round(sys_fps / 200.0, 3),
+        "vio_frames_per_s": round(vio_fps, 2),
+        "keyframes_in_measurement": n_kf,
     }
     print(json.dumps(result))
     return 0

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True)
     ap.add_argument("--frames", type=int, default=0, help="0 = all")
@@ -29,7 +29,10 @@ def main():
     ap.add_argument("--no-loop", action="store_true")
     ap.add_argument("--native-loader", action="store_true",
                     help="use the C++ prefetching dataset loader")
-    args = ap.parse_args()
+    ap.add_argument("--stream", action="store_true",
+                    help="fused block-scan replay once initialized "
+                         "(one device program per 48 frames)")
+    args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 
     from vins_tpu import euroc_config
@@ -56,16 +59,41 @@ def main():
     gt_pairs = []
     t0 = time.perf_counter()
     k = 0
-    for f, img in frames:
-        out = sys_.process_frame(jnp.asarray(img, jnp.float32), f.chunk,
-                                 t=f.t)
+
+    def publish(out, gt_p):
+        nonlocal k
         rec.add(t=out.t, p=out.p, q=out.q, initialized=out.initialized)
-        if out.initialized and f.gt_p is not None:
-            gt_pairs.append((out.p, f.gt_p))
-        if k % 100 == 0:
+        if out.initialized and gt_p is not None:
+            gt_pairs.append((out.p, gt_p))
+        if k % 100 == 0 or (not out.initialized and out.status):
             print(f"  frame {k}: init={out.initialized} "
-                  f"tracked={out.n_tracked}", flush=True)
+                  f"tracked={out.n_tracked} status={out.status}", flush=True)
         k += 1
+
+    buf = []
+
+    def flush_block():
+        if not buf:
+            return
+        fs, ims = zip(*buf)
+        buf.clear()
+        imgs = np.stack([np.asarray(i, np.float32) for i in ims])
+        chunks = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[f.chunk for f in fs])
+        outs = sys_.process_block(imgs, chunks, ts=[f.t for f in fs])
+        for out, f in zip(outs, fs):
+            publish(out, f.gt_p)
+
+    for f, img in frames:
+        if args.stream and sys_.initialized:
+            buf.append((f, img))
+            if len(buf) == 48:
+                flush_block()
+        else:
+            out = sys_.process_frame(jnp.asarray(img, jnp.float32),
+                                     f.chunk, t=f.t)
+            publish(out, f.gt_p)
+    flush_block()
     wall = time.perf_counter() - t0
     print(f"{k} frames in {wall:.1f}s ({k / wall:.1f} fps incl. compile)")
 
@@ -79,8 +107,8 @@ def main():
         result["rpe_30"] = round(rpe_r, 4)
     print(json.dumps(result))
     rec.save(os.path.join(args.out, "run.npz"))
-    return 0
+    return result
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(0 if main() is not None else 1)

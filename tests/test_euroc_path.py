@@ -1,0 +1,89 @@
+"""End-to-end EuRoC code-path test on an ASL-layout fixture.
+
+VERDICT r1 item 1: the EuRoC path (io/euroc.py loading + measurement
+alignment, radtan undistortion in utils/camera.py, euroc device profile,
+real PNG decode) had zero end-to-end coverage. This generates a maximal-
+fidelity ASL fixture (distorted 752×480 renders, 200 Hz noisy IMU with
+bias walk, EuRoC csv formats) and runs the EXACT examples/run_euroc.py
+flow over it, gated on ATE — the same command works unchanged on a real
+EuRoC directory.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from vins_tpu.config import euroc_config
+from vins_tpu.io import euroc
+from vins_tpu.io.asl_fixture import generate_asl_fixture
+
+CFG = euroc_config()
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("euroc_fixture"))
+    truth = generate_asl_fixture(root, CFG, n_frames=18, seed=3)
+    return root, truth
+
+
+def test_asl_layout_roundtrip(fixture_dir):
+    """load_euroc + align_measurements must parse the written tree:
+    correct counts, IMU chunks spanning each frame interval, PNG decode."""
+    root, truth = fixture_dir
+    data = euroc.load_euroc(root)
+    assert len(data.cam_ts) == 18
+    np.testing.assert_allclose(data.cam_ts, truth.cam_ts, atol=1e-8)
+    # 18 frames @ 20 Hz = 0.9 s => ~180 IMU/GT rows @ 200 Hz.
+    assert data.gt_ts is not None and len(data.gt_ts) >= 150
+
+    frames = list(euroc.align_measurements(data, CFG))
+    assert len(frames) == 17
+    for f in frames:
+        n_valid = int((f.chunk.dt > 0).sum())
+        # 200 Hz IMU / 20 Hz camera: ~10 samples per frame interval.
+        assert 8 <= n_valid <= 12, n_valid
+        assert abs(float(f.chunk.dt.sum()) - 0.05) < 5e-3
+    # Ground truth attached and finite.
+    assert frames[0].gt_p is not None
+    assert np.all(np.isfinite(frames[0].gt_p))
+
+    img = euroc.load_gray_png(frames[0].image_path)
+    assert img.shape == (CFG.camera.height, CFG.camera.width)
+    assert 0.05 < float(img.mean()) < 0.95  # textured, not blank
+    assert float(img.std()) > 0.02
+
+
+def test_distortion_actually_applied(fixture_dir):
+    """The fixture must exercise the undistortion path: the euroc profile
+    carries real radtan coefficients and the rendered rays used them."""
+    assert CFG.camera.k1 != 0.0
+    from vins_tpu.io.synthetic import camera_ray_grid
+
+    d_pin = camera_ray_grid(CFG, distorted=False)
+    d_rad = camera_ray_grid(CFG, distorted=True)
+    # Corners differ by many milliradians; center matches.
+    corner = np.arccos(np.clip(np.sum(d_pin[2, 2] * d_rad[2, 2]), -1, 1))
+    center = np.arccos(np.clip(np.sum(
+        d_pin[240, 376] * d_rad[240, 376]), -1, 1))
+    assert corner > 0.02
+    assert center < 1e-3
+
+
+@pytest.mark.slow
+def test_run_euroc_end_to_end(tmp_path):
+    """The real `run_euroc.py` flow over the fixture: must initialize,
+    track, and beat the ATE gate. This is the EuRoC-path accuracy
+    statement of BASELINE.md, exercised on the exact dataset code."""
+    from examples import run_euroc
+
+    root = str(tmp_path / "seq")
+    generate_asl_fixture(root, CFG, n_frames=80, seed=5)
+    result = run_euroc.main(["--root", root, "--no-loop",
+                             "--out", str(tmp_path / "out")])
+    assert result["frames"] == 79
+    assert "ate_rmse" in result, "system never initialized on the fixture"
+    assert result["ate_rmse"] < 0.15, result

@@ -84,3 +84,27 @@ def test_initialization_rejects_degenerate_motion():
                                 frame_dt=0.001)  # ~zero baseline
     res = initialize(syn.feats, syn.chunks, syn.ext, CFG)
     assert res.status != InitStatus.SUCCESS
+
+
+def test_low_excitation_raises_fail_imu():
+    """A constant-velocity (zero specific-force-variance) boot window must
+    be rejected with FAIL_IMU before SfM (reference check VINS.cpp:839-858)."""
+    syn = make_synthetic_window(CFG, n_landmarks=128, seed=9)
+    S = syn.chunks.dt.shape[1]
+    W = F - 1
+    # Straight-line constant velocity: accel = +g only, no rotation.
+    g = CFG.imu.gravity
+    chunks = pre_mod.ImuChunk(
+        dt=syn.chunks.dt,
+        acc=jnp.tile(jnp.array([0.0, 0.0, g]), (W, S, 1)),
+        gyr=jnp.zeros((W, S, 3)))
+    res = initialize(syn.feats, chunks, syn.ext, CFG)
+    assert res.status == InitStatus.FAIL_IMU
+
+
+def test_excited_window_passes_imu_gate():
+    """The standard synthetic circle must NOT trip the excitation gate."""
+    from vins_tpu.core.initialization import imu_excitation
+
+    syn = make_synthetic_window(CFG, n_landmarks=128, seed=11)
+    assert imu_excitation(syn.chunks, CFG) > CFG.init_min_acc_var

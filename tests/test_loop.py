@@ -192,7 +192,7 @@ def test_keyframe_db_resample_compacts_and_protects():
             jnp.zeros((Nf, 8), jnp.uint32), jnp.zeros((Nf, 2), jnp.float32),
             jnp.zeros((Nf, 2), jnp.float32), jnp.zeros((Nf, 3), jnp.float32),
             jnp.zeros((Nf,), bool), jnp.zeros((Nf,), bool),
-            jnp.asarray(0, jnp.int32))
+            jnp.asarray(0, jnp.int32), jnp.full((Nf,), -1, jnp.int32))
         lc.graph = lc.graph._replace(
             t=lc.graph.t.at[i].set(p),
             node_ok=lc.graph.node_ok.at[i].set(True))

@@ -54,3 +54,136 @@ def test_full_pipeline_initializes_and_tracks():
     # this excitation level — the ATE gate above is the binding one.
     res_s = evaluate.ate_rmse(est_p, gt_p, with_scale=True)
     assert abs(res_s.s - 1.0) < 0.35, f"metric scale off: {res_s.s}"
+
+
+def test_reanchor_window_unit():
+    """_reanchor_window_jit: frame 0 lands at the anchor with the anchor
+    yaw; relative geometry (and roll/pitch) preserved."""
+    from vins_tpu.io.synthetic import make_synthetic_window
+    from vins_tpu.pipeline import _reanchor_window_jit
+    from vins_tpu.utils import lie
+
+    syn = make_synthetic_window(CFG, n_landmarks=40, seed=21)
+    p_anchor = np.array([4.0, -2.0, 1.5], np.float32)
+    yaw_anchor = 0.9
+    w2 = _reanchor_window_jit(syn.state, jnp.asarray(p_anchor),
+                              jnp.asarray(yaw_anchor, jnp.float32))
+    np.testing.assert_allclose(np.asarray(w2.p[0]), p_anchor, atol=1e-5)
+    ypr0 = np.asarray(lie.rotmat_to_ypr(lie.quat_to_rotmat(w2.q[0])))
+    assert abs(float(ypr0[0]) - yaw_anchor) < 1e-5
+    # Rigid: inter-frame distances preserved.
+    d_before = np.linalg.norm(np.asarray(syn.state.p[5] - syn.state.p[0]))
+    d_after = np.linalg.norm(np.asarray(w2.p[5] - w2.p[0]))
+    assert abs(d_before - d_after) < 1e-5
+    # Roll/pitch untouched (gravity-observable).
+    ypr_b = np.asarray(lie.rotmat_to_ypr(lie.quat_to_rotmat(syn.state.q[5])))
+    ypr_a = np.asarray(lie.rotmat_to_ypr(lie.quat_to_rotmat(w2.q[5])))
+    np.testing.assert_allclose(ypr_a[1:], ypr_b[1:], atol=1e-5)
+
+
+def test_fail_reset_keeps_trajectory_and_anchor():
+    """Failure recovery must not discard the recorded trajectory and must
+    remember the last good pose for re-anchoring (VINS.cpp:137-142)."""
+    sys_ = VinsSystem(CFG, use_loop=False, use_pnp=False)
+    sys_.trajectory = [np.zeros(3), np.ones(3)]
+    sys_._last_good = (np.array([1.0, 2.0, 3.0], np.float32), 0.5)
+    sys_._fail_reset()
+    assert len(sys_.trajectory) == 2
+    assert sys_._recover_anchor is not None
+    np.testing.assert_allclose(sys_._recover_anchor[0], [1.0, 2.0, 3.0])
+    assert not sys_.initialized
+
+
+def test_drift_correct_points_unit():
+    """Published point cloud must be drift-corrected like the pose
+    (VINS.cpp:307-331)."""
+    sys_ = VinsSystem(CFG, use_loop=True, use_pnp=False)
+    th = 0.3
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    t = np.array([1.0, -2.0, 0.5], np.float32)
+    sys_.loop.r_drift = R
+    sys_.loop.t_drift = t
+    pts = np.random.default_rng(0).normal(size=(7, 3)).astype(np.float32)
+    out = sys_._drift_correct_points(pts)
+    np.testing.assert_allclose(out, pts @ R.T + t, rtol=1e-5)
+    p1, _ = sys_._drift_correct(pts[0], np.array([1, 0, 0, 0], np.float32))
+    np.testing.assert_allclose(out[0], p1, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_failure_recovery_continuity():
+    """Inject garbage IMU mid-sequence: the system must detect failure,
+    re-initialize, and continue the trajectory from the last good pose —
+    no teleport to the origin (VINS.cpp:131-212, ViewController.mm:771-781)."""
+    n_frames = 110
+    seq = make_synthetic_sequence(
+        CFG, n_frames=n_frames, n_landmarks=60, seed=13,
+        frame_dt=1.0 / 30.0, traj_kwargs=dict(w=0.35, bob=0.15),
+        imu_per_frame=4)
+    imgs = render_sequence_images(seq, CFG, seed=13)
+
+    sys_ = VinsSystem(CFG, use_loop=False, ext=seq.ext)
+    outs = []
+    fail_at = None
+    last_good_p = None
+    for k in range(n_frames):
+        chunk = jax.tree.map(lambda x: x[k], seq.chunks)
+        if fail_at is None and k >= 45 and sys_.initialized \
+                and (sys_.frame_idx % CFG.freq) == 0:
+            # Garbage IMU chunk on a backend frame -> rotation-jump failure.
+            chunk = chunk._replace(gyr=jnp.full_like(chunk.gyr, 40.0))
+            fail_at = k
+            last_good_p = outs[-1].p
+        out = sys_.process_frame(jnp.asarray(imgs[k]), chunk,
+                                 t=float(seq.timestamps[k]))
+        outs.append(out)
+
+    assert fail_at is not None, "never initialized before injection point"
+    post = [o for o in outs[fail_at + 1:] if o.initialized]
+    assert post, "system never re-initialized after failure"
+    # Continuity: the first recovered pose must continue from the last
+    # good pose, not restart at the origin.
+    first_rec = post[0].p
+    assert np.linalg.norm(first_rec - last_good_p) < 1.0, \
+        (first_rec, last_good_p)
+    assert np.linalg.norm(first_rec) > 0.5, "teleported to origin"
+    # Trajectory history survived the reset.
+    assert len(sys_.trajectory) == n_frames
+
+
+@pytest.mark.slow
+def test_process_block_matches_interactive():
+    """The fused streaming scan (stream.run_vio_scan via process_block)
+    must produce the same-quality trajectory as the per-frame interactive
+    path: same tracker, same solves, one device program per block."""
+    n_frames = 70
+    seq = make_synthetic_sequence(
+        CFG, n_frames=n_frames, n_landmarks=60, seed=13,
+        frame_dt=1.0 / 30.0, traj_kwargs=dict(w=0.35, bob=0.15),
+        imu_per_frame=4)
+    imgs = render_sequence_images(seq, CFG, seed=13)
+
+    sys_ = VinsSystem(CFG, use_loop=False, ext=seq.ext)
+    k = 0
+    # INITIAL phase runs interactively (block mode is steady-state only).
+    while k < n_frames and not sys_.initialized:
+        chunk = jax.tree.map(lambda x: x[k], seq.chunks)
+        sys_.process_frame(jnp.asarray(imgs[k]), chunk,
+                           t=float(seq.timestamps[k]))
+        k += 1
+    assert sys_.initialized and k <= 45
+    init_at = k - 1
+
+    block_imgs = jnp.asarray(imgs[k:])
+    block_chunks = jax.tree.map(lambda x: x[k:], seq.chunks)
+    outs = sys_.process_block(block_imgs, block_chunks,
+                              ts=seq.timestamps[k:])
+    assert len(outs) == n_frames - k
+    assert all(o.initialized for o in outs)
+    assert any(o.is_keyframe for o in outs)
+
+    est_p = np.stack([o.p for o in outs])
+    gt_p = np.asarray(seq.p[k:n_frames])
+    res = evaluate.ate_rmse(est_p, gt_p)
+    assert res.rmse < 0.15, f"block-mode ATE {res.rmse}"

@@ -150,3 +150,53 @@ def test_empty_branch_words_are_zero_weight():
     w = np.asarray(vocab.weights)
     assert (w > 0).sum() <= 10
     assert w.shape == (125,)
+
+
+def test_vocabulary_aliasing_precision():
+    """Aliasing stress (VERDICT r1): 200 keyframes over 20 repeatedly
+    revisited 'places' whose descriptor sets differ only by viewpoint
+    noise (random bit flips). The BoW retrieval gate (alpha·ns + floor,
+    as LoopCloser uses) must stay precise — an above-gate best match must
+    come from the SAME place ≥90% of the time — and still recall enough
+    true revisits to be useful."""
+    rng = np.random.default_rng(42)
+    P, revisits, n_desc = 20, 10, 64
+    n_kf = P * revisits                      # 200 keyframes
+    base = rng.integers(0, 2 ** 32, (P, n_desc, 8), dtype=np.uint32)
+
+    def noisy(place):
+        # ~10 of 256 bits flipped per descriptor (viewpoint/noise change).
+        flips = np.zeros((n_desc, 8), np.uint32)
+        for _ in range(10):
+            word = rng.integers(0, 8, n_desc)
+            bit = rng.integers(0, 32, n_desc)
+            flips[np.arange(n_desc), word] |= (1 << bit).astype(np.uint32)
+        return base[place] ^ flips
+
+    places = np.tile(np.arange(P), revisits)
+    descs = np.stack([noisy(p) for p in places])      # [n_kf, n_desc, 8]
+
+    train = descs[:2 * P].reshape(-1, 8)
+    img_ids = np.repeat(np.arange(2 * P), n_desc)
+    vocab = voc.train_vocabulary(train, k=10, levels=3, iters=4,
+                                       image_ids=img_ids)
+    ok = jnp.ones((n_desc,), bool)
+    bows = jnp.stack([voc.transform(vocab, jnp.asarray(d), ok)[1]
+                      for d in descs])
+
+    alpha, floor, dislocal = 0.3, 0.04, 5
+    predicted = correct = eligible = 0
+    for q in range(P, n_kf):
+        scores = np.array(voc.score_database(bows, bows[q]))
+        ns = scores[q - 1]
+        gate = max(alpha * ns, floor)
+        scores[max(0, q - dislocal):] = -1.0
+        best = int(np.argmax(scores))
+        eligible += 1
+        if scores[best] >= gate:
+            predicted += 1
+            correct += places[best] == places[q]
+
+    assert predicted >= 0.5 * eligible, (predicted, eligible)  # recall sanity
+    precision = correct / max(predicted, 1)
+    assert precision >= 0.9, (precision, predicted, eligible)

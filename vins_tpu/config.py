@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +44,22 @@ class CameraConfig:
     # Extrinsic rotation as ypr radians (reference: ypr(0,0,180°) deg,
     # global_param.hpp:23-25).
     ric_ypr: Tuple[float, float, float] = (0.0, 0.0, math.pi)
+    # Full camera→IMU rotation R_bc as a row-major 9-tuple; overrides
+    # ric_ypr when set (EuRoC's calibrated R_BS is not a ypr composition).
+    ric_full: Optional[Tuple[float, ...]] = None
+
+    def ric_matrix(self):
+        import numpy as _np
+        if self.ric_full is not None:
+            return _np.asarray(self.ric_full, _np.float32).reshape(3, 3)
+        y, p, r = self.ric_ypr
+        cy, sy = math.cos(y), math.sin(y)
+        cp, sp = math.cos(p), math.sin(p)
+        cr, sr = math.cos(r), math.sin(r)
+        Rz = _np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+        Ry = _np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+        Rx = _np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+        return (Rz @ Ry @ Rx).astype(_np.float32)
 
     @property
     def focal(self) -> float:
@@ -92,9 +108,14 @@ class SolverConfig:
     # are compacted into this many slots instead of evaluating the full
     # F×max_landmarks grid (reference bounds the same quantity via
     # NUM_OF_F=1000 parameter blocks). ~70 tracked features × ≤10
-    # co-observing frames ≈ 650; excess-valid cells beyond the budget are
-    # dropped (longest-tracked first ordering keeps the best factors).
+    # co-observing frames ≈ 650; on overflow, cells of longer tracks win
+    # (select_proj_factors scores by per-landmark track length, so the
+    # best-constrained factors survive).
     max_proj_factors: int = 768
+    # Loop-reprojection factor budget (observations of current-window
+    # landmarks in a retrieved old keyframe, VINS.cpp:571-637). Bounded by
+    # the tracked-feature count, not max_landmarks.
+    max_loop_factors: int = 128
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,10 +161,22 @@ class LoopConfig:
     vocab_train_iters: int = 6       # Lloyd iterations per tree node
     min_similarity_bow: float = 0.04  # absolute L1-score floor (BoW scorer)
     island_gap: int = 3              # entry-id gap closing match islands
+    temporal_radius: int = 10        # consecutive-query match proximity for
+                                     # the temporal-consistency k test
+                                     # (TemplatedLoopDetector.h:668-877)
     yaw_reject_deg: float = 30.0     # loop sanity: |yaw|>30° rejected
     trans_reject_m: float = 10.0     # loop sanity: |t|>10 m rejected
     pose_graph_iters: int = 12
     sequential_edges: int = 5        # chain edges per node (keyfame_database.cpp:239)
+    # Geometric verification (loop/keyframe_db.py): F-RANSAC threshold in
+    # PIXELS (divided by the camera focal at use — the previous hardcoded
+    # 2.0/460 broke on non-EuRoC focal lengths), descriptor-match gates
+    # (keyframe.cpp:161-187), and the old-pose PnP acceptance residual.
+    geo_ransac_px: float = 2.0
+    geo_ransac_hyps: int = 256
+    match_max_dist: int = 80         # Hamming distance gate (of 256 bits)
+    match_ratio: float = 0.85        # best/second-best neigh-ratio test
+    pnp_max_msr: float = 5e-3        # mean-squared reproj gate (normalized²)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -198,11 +231,24 @@ class VinsConfig:
     # Failure-detection thresholds (reference VINS.cpp:214-265).
     fail_min_features: int = 4
     fail_max_gyr_bias: float = 1.0
+    fail_max_acc_bias: float = 2.5
     fail_max_trans_jump: float = 1.0
     fail_max_z_jump: float = 0.5
     fail_max_rot_jump_deg: float = 40.0
     # Initialization acceptance: final cost threshold (VINS.cpp:416).
     init_max_cost: float = 200.0
+    # Init IMU-excitation gate: stddev of per-edge mean specific force
+    # (delta_v / dt) across the boot window must exceed this, else
+    # FAIL_IMU (VINS.cpp:839-858; the reference ships the check commented
+    # out with threshold 0.25 — we enable it, since an unexcited window
+    # makes the scale unobservable and wastes a full SfM+align attempt).
+    # 0.08 rather than 0.25: measured excitation of smooth-but-
+    # observable trajectories (slow MAV arcs) sits at 0.13; truly
+    # degenerate (constant-velocity) windows measure < 0.005.
+    init_min_acc_var: float = 0.08
+    # SfM incremental-PnP acceptance: mean-squared reprojection residual
+    # (normalized image plane) for a chained frame pose (inital_sfm.cpp:22).
+    init_pnp_max_msr: float = 1e-3
 
     def replace(self, **kw) -> "VinsConfig":
         return dataclasses.replace(self, **kw)
@@ -219,13 +265,16 @@ DEVICE_PROFILES = {
     "iphone6s": CameraConfig(width=480, height=640,
                              fx=549.477, fy=549.477, cx=240.0, cy=320.0,
                              tic=(0.0, 0.065, 0.0)),
-    # EuRoC MAV cam0 (for dataset replay; values from the public EuRoC calib).
+    # EuRoC MAV cam0 (for dataset replay; values from the public EuRoC calib:
+    # mav0/cam0/sensor.yaml T_BS — full R_bc, not a ypr approximation).
     "euroc": CameraConfig(width=752, height=480,
                           fx=458.654, fy=457.296, cx=367.215, cy=248.375,
                           k1=-0.28340811, k2=0.07395907,
                           p1=0.00019359, p2=1.76187114e-05,
                           tic=(-0.0216401454975, -0.064676986768, 0.00981073058949),
-                          ric_ypr=(0.0, 0.0, 0.0)),
+                          ric_full=(0.0148655429818, -0.999880929698, 0.00414029679422,
+                                    0.999557249008, 0.0149672133247, 0.025715529948,
+                                    -0.0257744366974, 0.00375618835797, 0.999660727178)),
 }
 
 

@@ -28,7 +28,7 @@ Per step:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,8 @@ from . import feature_manager as fm
 from . import marginalization as marg
 from . import preintegration as pre_mod
 from .factors import Extrinsics
-from .solver import SolveStats, WindowProblem, solve_window
+from .solver import (LoopProblem, SolveStats, WindowProblem, solve_window,
+                     solve_window_with_loop)
 from .state import FeatureTable, PriorFactor, WindowState
 
 
@@ -114,6 +115,29 @@ class BackendState(NamedTuple):
                               prior=prior_new)
 
 
+class LoopInput(NamedTuple):
+    """Loop-closure constraint data carried into a backend step (the
+    reference's retrive_pose_data consumed by solve_ceres,
+    VINS.cpp:571-637). Slot-aligned to the backend landmark table; ids
+    re-verified on device so stale slots (track churn between detection
+    and injection) drop out."""
+
+    obs_old: jax.Array   # [M, 2] normalized obs in the retrieved keyframe
+    ok: jax.Array        # [M] bool
+    ids: jax.Array       # [M] int32 track ids the matches were made for
+    frame: jax.Array     # [] int32 window frame carrying the loop
+    weight: jax.Array    # [] float 1.0 active / 0.0 inert
+
+    @staticmethod
+    def inactive(M: int, dtype=jnp.float32) -> "LoopInput":
+        return LoopInput(
+            obs_old=jnp.zeros((M, 2), dtype),
+            ok=jnp.zeros((M,), bool),
+            ids=jnp.full((M,), -1, jnp.int32),
+            frame=jnp.zeros((), jnp.int32),
+            weight=jnp.zeros((), dtype))
+
+
 class FrameInput(NamedTuple):
     """One camera frame's worth of backend input."""
 
@@ -121,6 +145,8 @@ class FrameInput(NamedTuple):
     ids: jax.Array                # [Mi] int32 track ids (-1 = invalid)
     obs: jax.Array                # [Mi, 2] normalized observations
     obs_valid: jax.Array          # [Mi] bool
+    # Optional loop-constraint block; None compiles the loop-free step.
+    loop: Optional[LoopInput] = None
 
 
 class BackendOutput(NamedTuple):
@@ -134,6 +160,13 @@ class BackendOutput(NamedTuple):
     # Drift-corrected sparse map of the newest frame (for viz/loop/AR).
     point_cloud: jax.Array        # [M, 3] world points
     point_valid: jax.Array        # [M]
+    # Refined loop constraint read off the solved window (VINS.cpp:663-680):
+    # relative t (in the solved loop-pose frame) and yaw between the loop-
+    # carrying window frame and the solved loop pose. Zeros when no loop
+    # block was active this step.
+    loop_rel_t: jax.Array         # [3]
+    loop_rel_yaw: jax.Array       # []
+    loop_good: jax.Array          # [] bool — loop block active + solve ok
 
 
 def _failure_detection(prev: WindowState, cur: WindowState,
@@ -152,7 +185,7 @@ def _failure_detection(prev: WindowState, cur: WindowState,
     return (
         (n_tracked < cfg.fail_min_features)
         | (bg_norm > cfg.fail_max_gyr_bias)
-        | (ba_norm > 2.5)
+        | (ba_norm > cfg.fail_max_acc_bias)
         | (dp > cfg.fail_max_trans_jump)
         | (dz > cfg.fail_max_z_jump)
         | (ang > jnp.deg2rad(cfg.fail_max_rot_jump_deg))
@@ -235,11 +268,30 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
     win = fm.triangulate(win, feats, ext, cfg)
 
     # 6. Solve (preintegrations carry first-order bias correction).
+    #    With an active LoopInput, loop-reprojection factors against a
+    #    free loop pose join the problem (VINS.cpp:571-637); the loop
+    #    pose initializes at the loop-carrying window frame's pose
+    #    (VINS.cpp:588-590).
     prob = WindowProblem(
         feats=feats, preints=preints, prior=est.prior, ext=ext,
         gravity=gravity, sqrt_info_proj=jnp.asarray(focal / 1.5),
         frame_free=jnp.ones(F, win.p.dtype))
-    solved, stats = solve_window(win, prob, cfg)
+    if inp.loop is not None:
+        # Slot identity re-check: a slot only contributes if it still
+        # holds the track the old-keyframe match was made for.
+        loop_ok = (inp.loop.ok & (feats.track_id == inp.loop.ids)
+                   & (inp.loop.ids >= 0))
+        prob = prob._replace(loop=LoopProblem(
+            obs_old=inp.loop.obs_old, ok=loop_ok,
+            frame=inp.loop.frame, weight=inp.loop.weight))
+        lp0 = win.p[inp.loop.frame]
+        lq0 = win.q[inp.loop.frame]
+        solved, (loop_p, loop_q), stats = solve_window_with_loop(
+            win, lp0, lq0, prob, cfg)
+    else:
+        solved, stats = solve_window(win, prob, cfg)
+        loop_p = jnp.zeros(3, win.p.dtype)
+        loop_q = lie.quat_identity(win.p.dtype)
 
     # NOTE: the reference re-anchors frame 0's yaw/position after every
     # solve (new2old, VINS.cpp:131-212) because Ceres' gauge can wander.
@@ -275,10 +327,31 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
     feats = fm.remove_failures(solved, feats)
     pts_w = landmark_world_points(solved, feats, ext)
 
+    # Refined loop constraint off the SOLVED window (VINS.cpp:663-680):
+    # t in the solved loop-pose frame, yaw difference — both invariant to
+    # the window's global 4-DoF gauge, so safe to feed the pose graph.
+    if inp.loop is not None:
+        p_i = solved.p[inp.loop.frame]
+        q_i = solved.q[inp.loop.frame]
+        R_loop = lie.quat_to_rotmat(loop_q)
+        loop_rel_t = R_loop.T @ (p_i - loop_p)
+        yaw_i = lie.rotmat_to_ypr(lie.quat_to_rotmat(q_i))[0]
+        yaw_l = lie.rotmat_to_ypr(R_loop)[0]
+        dyaw = yaw_i - yaw_l
+        loop_rel_yaw = jnp.arctan2(jnp.sin(dyaw), jnp.cos(dyaw))
+        n_loop = jnp.sum(prob.loop.ok & feats.valid)
+        loop_good = (inp.loop.weight > 0) & (n_loop >= 10) & ~fail
+    else:
+        loop_rel_t = jnp.zeros(3, win.p.dtype)
+        loop_rel_yaw = jnp.zeros((), win.p.dtype)
+        loop_good = jnp.asarray(False)
+
     out = BackendOutput(
         pose_p=solved.p[F - 1], pose_q=solved.q[F - 1], vel=solved.v[F - 1],
         is_keyframe=is_kf, parallax_px=par_px, failure=fail, stats=stats,
-        point_cloud=pts_w, point_valid=feats.valid & feats.mask[F - 1])
+        point_cloud=pts_w, point_valid=feats.valid & feats.mask[F - 1],
+        loop_rel_t=loop_rel_t, loop_rel_yaw=loop_rel_yaw,
+        loop_good=loop_good)
 
     # 8. Marginalize + slide (MARGIN_OLD if the 2nd-newest was a keyframe).
     prob_solved = prob._replace(feats=feats)

@@ -119,14 +119,14 @@ def _sfm_tri_j(feats, R_all, t_all, pts_w, pts_ok, a, b):
 
 
 @jax.jit
-def _sfm_pnp_j(feats, R_all, t_all, pts_w, pts_ok, f, init_from):
+def _sfm_pnp_j(feats, R_all, t_all, pts_w, pts_ok, f, init_from, max_msr):
     usable = feats.mask[f] & pts_ok
     p0 = t_all[init_from]
     q0 = lie.rotmat_to_quat(R_all[init_from])
     p, q, msr = ransac_mod.pnp_gn(pts_w, feats.obs[f], usable, p0, q0,
                                   iters=12)
     n_use = jnp.sum(usable)
-    ok = (n_use >= 6) & jnp.isfinite(msr) & (msr <= 1e-3)
+    ok = (n_use >= 6) & jnp.isfinite(msr) & (msr <= max_msr)
     R_new = jnp.where(ok, lie.quat_to_rotmat(q), R_all[f])
     t_new = jnp.where(ok, p, t_all[f])
     return R_all.at[f].set(R_new), t_all.at[f].set(t_new), ok
@@ -169,7 +169,8 @@ def global_sfm(feats: FeatureTable, l: int, R_rel: jax.Array,
     def pnp(f, init_from):
         nonlocal R_all, t_all
         R_all, t_all, ok = _sfm_pnp_j(feats, R_all, t_all, pts_w, pts_ok,
-                                      jnp.asarray(f), jnp.asarray(init_from))
+                                      jnp.asarray(f), jnp.asarray(init_from),
+                                      jnp.asarray(cfg.init_pnp_max_msr))
         return bool(ok)
 
     # Two-view seed.
@@ -412,6 +413,26 @@ def refine_init_window(window: WindowState, feats: FeatureTable,
     return window, cost
 
 
+@jax.jit
+def _imu_excitation_j(dv: jax.Array, sum_dt: jax.Array) -> jax.Array:
+    """Stddev of per-edge mean specific force (delta_v / dt) over edges
+    with nonzero span (the reference's aver_g/var check, VINS.cpp:839-858)."""
+    ok = sum_dt > 1e-6
+    g_edge = dv / jnp.maximum(sum_dt[:, None], 1e-6)        # [W, 3]
+    n = jnp.maximum(jnp.sum(ok), 1)
+    mean_g = jnp.sum(jnp.where(ok[:, None], g_edge, 0.0), axis=0) / n
+    d2 = jnp.sum((g_edge - mean_g) ** 2, axis=-1)
+    var = jnp.sum(jnp.where(ok, d2, 0.0)) / n
+    return jnp.sqrt(var)
+
+
+def imu_excitation(chunks: pre_mod.ImuChunk, cfg: VinsConfig) -> float:
+    """Host-facing excitation statistic for a stacked [W]-edge chunk set."""
+    pre = jax.vmap(lambda c: pre_mod.propagate(
+        c, jnp.zeros(3), jnp.zeros(3), cfg.imu))(chunks)
+    return float(_imu_excitation_j(pre.dv, pre.sum_dt))
+
+
 # Module-level jitted wrappers: one compile per process, not per init call.
 _solve_gyro_bias_j = jax.jit(solve_gyro_bias)
 _linear_alignment_j = jax.jit(linear_alignment, static_argnames=("g_mag",))
@@ -443,6 +464,18 @@ def initialize(feats: FeatureTable, chunks: pre_mod.ImuChunk,
     newest = F - 1
     fail = lambda s: InitResult(WindowState.identity(F, M), s)
 
+    # 0. IMU excitation gate (VINS.cpp:839-858): stddev of the per-edge
+    #    mean specific force Δv/Δt across the window. A static/constant-
+    #    velocity window leaves scale unobservable; reject before paying
+    #    for SfM + alignment. The zero-bias preintegration is reused by
+    #    the gyro-bias solve in step 4.
+    pre0 = jax.vmap(lambda c: pre_mod.propagate(
+        c, jnp.zeros(3), jnp.zeros(3), cfg.imu))(chunks)
+    if cfg.init_min_acc_var > 0:
+        acc_var = float(_imu_excitation_j(pre0.dv, pre0.sum_dt))
+        if not np.isfinite(acc_var) or acc_var < cfg.init_min_acc_var:
+            return fail(InitStatus.FAIL_IMU)
+
     # 1. Reference frame + relative pose.
     l, ok = find_reference_frame(feats, cfg.camera.focal)
     if not ok:
@@ -468,10 +501,8 @@ def initialize(feats: FeatureTable, chunks: pre_mod.ImuChunk,
     R_body = sfm.R_wc @ R_ic.T                                   # [F,3,3]
     p_cam = sfm.t_wc                                             # un-scaled
 
-    # 4. Gyro bias + repropagation.
+    # 4. Gyro bias + repropagation (pre0 from step 0).
     q_body = lie.rotmat_to_quat(R_body)
-    pre0 = jax.vmap(lambda c: pre_mod.propagate(
-        c, jnp.zeros(3), jnp.zeros(3), cfg.imu))(chunks)
     bg = _solve_gyro_bias_j(q_body, pre0)
     if float(jnp.linalg.norm(bg)) > 1.0:
         return fail(InitStatus.FAIL_ALIGN)

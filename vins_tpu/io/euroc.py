@@ -51,12 +51,25 @@ def _read_csv(path: str) -> np.ndarray:
     return np.asarray(rows, np.float64)
 
 
+def _read_cam_csv(path: str):
+    """cam0/data.csv rows are `timestamp_ns,filename` — the second column
+    is a STRING (real EuRoC ships e.g. `1403636579763555584.png`)."""
+    ts, names = [], []
+    with open(path) as f:
+        for row in csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue
+            ts.append(int(row[0]))
+            names.append(row[1].strip() if len(row) > 1 and row[1].strip()
+                         else f"{int(row[0]):d}.png")
+    return np.asarray(ts, np.int64), names
+
+
 def load_euroc(root: str) -> EurocData:
     mav = os.path.join(root, "mav0")
-    cam_csv = _read_csv(os.path.join(mav, "cam0", "data.csv"))
-    cam_ts = cam_csv[:, 0] * 1e-9
-    cam_files = [os.path.join(mav, "cam0", "data", f"{int(t):d}.png")
-                 for t in cam_csv[:, 0]]
+    cam_ns, cam_names = _read_cam_csv(os.path.join(mav, "cam0", "data.csv"))
+    cam_ts = cam_ns.astype(np.float64) * 1e-9
+    cam_files = [os.path.join(mav, "cam0", "data", n) for n in cam_names]
     imu_csv = _read_csv(os.path.join(mav, "imu0", "data.csv"))
     imu_ts = imu_csv[:, 0] * 1e-9
     gyr = imu_csv[:, 1:4]

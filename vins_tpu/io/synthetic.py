@@ -334,6 +334,66 @@ def _render_frames_device(p_cam: jax.Array, R_wc: jax.Array,
     return jax.lax.map(one, (p_cam, R_wc, keys))
 
 
+def camera_ray_grid(cfg: VinsConfig, distorted: bool = False) -> np.ndarray:
+    """[H, W, 3] unit camera-frame ray directions for every pixel. With
+    `distorted`, rays are computed through the camera's radial-tangential
+    model (utils.camera.pixel_to_normalized), so the rendered images look
+    like a REAL distorted camera's output — straight lines curve, and the
+    tracker must undistort to get correct geometry."""
+    H, W = cfg.camera.height, cfg.camera.width
+    cam = cfg.camera
+    u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32))
+    if distorted:
+        from ..utils import camera as cam_mod
+        uv = jnp.asarray(np.stack([u, v], -1).reshape(-1, 2))
+        xy = np.asarray(cam_mod.pixel_to_normalized(cam, uv)).reshape(H, W, 2)
+        dirs_c = np.concatenate([xy, np.ones((H, W, 1), np.float32)], -1)
+    else:
+        dirs_c = np.stack([(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy,
+                           np.ones_like(u)], -1)
+    return dirs_c / np.linalg.norm(dirs_c, axis=-1, keepdims=True)
+
+
+def render_camera_frames(p_cam: np.ndarray, R_wc: np.ndarray,
+                         cfg: VinsConfig, seed: int = 0,
+                         wall_radius: float = 8.0,
+                         floor_z: float = -2.0,
+                         ceil_z: float = 2.0,
+                         noise_sigma: float = 0.005,
+                         distorted: bool = False,
+                         tex_gain: float = 1.0,
+                         tex_freq_max: float = 25.0) -> np.ndarray:
+    """Ray-cast [N, H, W] frames of the textured cylinder room from
+    arbitrary camera poses (p_cam [N,3] centers, R_wc [N,3,3] camera→world
+    rotations). tex_gain/tex_freq_max sharpen the wave texture (higher
+    contrast + finer detail ⇒ stronger trackable corners) without changing
+    the default basis other tests' ground truth depends on."""
+    rng = np.random.default_rng(seed + 77)
+    H, W = cfg.camera.height, cfg.camera.width
+    dirs_c = camera_ray_grid(cfg, distorted)
+
+    # Texture wave basis (must be derived from the same rng stream as the
+    # previous per-frame construction so textures stay band-limited 1/f).
+    tex_rng = np.random.default_rng(seed + 77)
+    n_waves = 96
+    freqs = tex_rng.uniform(0.5, tex_freq_max,
+                            (n_waves, 3)).astype(np.float32)
+    mags = np.linalg.norm(freqs, axis=1, keepdims=True)
+    amps = (1.0 / mags[:, 0]) ** 0.5
+    amps = (amps / amps.sum() * tex_gain).astype(np.float32)
+    phases = tex_rng.uniform(0, 2 * np.pi, n_waves).astype(np.float32)
+
+    imgs = _render_frames_device(
+        jnp.asarray(p_cam, jnp.float32), jnp.asarray(R_wc, jnp.float32),
+        jnp.asarray(dirs_c), (jnp.asarray(freqs), jnp.asarray(amps),
+                              jnp.asarray(phases)),
+        jax.random.PRNGKey(rng.integers(2 ** 31)),
+        jnp.asarray([wall_radius, floor_z, ceil_z, noise_sigma],
+                    jnp.float32), H, W)
+    return np.asarray(imgs)
+
+
 def render_sequence_images(seq: SyntheticSequence, cfg: VinsConfig,
                            seed: int = 0,
                            wall_radius: float = 8.0,
@@ -347,41 +407,14 @@ def render_sequence_images(seq: SyntheticSequence, cfg: VinsConfig,
     unlike sprite-based rendering. Runs fully on device
     (_render_frames_device); the wave-texture basis matches the one used
     by ground_truth_correspondence's geometry."""
-    rng = np.random.default_rng(seed + 77)
-    H, W = cfg.camera.height, cfg.camera.width
-    fx, fy, cx, cy = (cfg.camera.fx, cfg.camera.fy,
-                      cfg.camera.cx, cfg.camera.cy)
-
-    u, v = np.meshgrid(np.arange(W, dtype=np.float32),
-                       np.arange(H, dtype=np.float32))
-    dirs_c = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
-    dirs_c /= np.linalg.norm(dirs_c, axis=-1, keepdims=True)
-
-    # Texture wave basis (must be derived from the same rng stream as the
-    # previous per-frame construction so textures stay band-limited 1/f).
-    tex_rng = np.random.default_rng(seed + 77)
-    n_waves = 96
-    freqs = tex_rng.uniform(0.5, 25.0, (n_waves, 3)).astype(np.float32)
-    mags = np.linalg.norm(freqs, axis=1, keepdims=True)
-    amps = (1.0 / mags[:, 0]) ** 0.5
-    amps = (amps / amps.sum()).astype(np.float32)
-    phases = tex_rng.uniform(0, 2 * np.pi, n_waves).astype(np.float32)
-
     R_ic = np.asarray(lie.quat_to_rotmat(seq.ext.qic))
     t_ic = np.asarray(seq.ext.tic)
     Rwb = np.asarray(lie.quat_to_rotmat(seq.q))
     p_f = np.asarray(seq.p)
     R_wc = np.einsum("nij,jk->nik", Rwb, R_ic)
     p_cam = p_f + np.einsum("nij,j->ni", Rwb, t_ic)
-
-    imgs = _render_frames_device(
-        jnp.asarray(p_cam, jnp.float32), jnp.asarray(R_wc, jnp.float32),
-        jnp.asarray(dirs_c), (jnp.asarray(freqs), jnp.asarray(amps),
-                              jnp.asarray(phases)),
-        jax.random.PRNGKey(rng.integers(2 ** 31)),
-        jnp.asarray([wall_radius, floor_z, ceil_z, noise_sigma],
-                    jnp.float32), H, W)
-    return np.asarray(imgs)
+    return render_camera_frames(p_cam, R_wc, cfg, seed, wall_radius,
+                                floor_z, ceil_z, noise_sigma)
 
 
 def ground_truth_correspondence(seq: SyntheticSequence, cfg: VinsConfig,

@@ -22,6 +22,7 @@ loop constraint for the pose graph.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -54,6 +55,9 @@ class KeyframeDB(NamedTuple):
     pts_ok: jax.Array     # [K, Nf] bool — world point valid
     kp_ok: jax.Array      # [K, Nf] bool — keypoint valid
     segment: jax.Array    # [K] int32 — trajectory segment (failure resets)
+    tid: jax.Array        # [K, Nf] int32 — global track id of window rows
+                          # (-1 for topped-up FAST corners); associates
+                          # landmarks ACROSS keyframes for global BA.
 
     @staticmethod
     def empty(K: int, Nf: int, dtype=jnp.float32) -> "KeyframeDB":
@@ -70,7 +74,8 @@ class KeyframeDB(NamedTuple):
             pts_w=jnp.zeros((K, Nf, 3), dtype),
             pts_ok=jnp.zeros((K, Nf), bool),
             kp_ok=jnp.zeros((K, Nf), bool),
-            segment=jnp.zeros((K,), jnp.int32))
+            segment=jnp.zeros((K,), jnp.int32),
+            tid=jnp.full((K, Nf), -1, jnp.int32))
 
 
 class LoopHit(NamedTuple):
@@ -129,7 +134,7 @@ def _db_scores(gdesc_db: jax.Array, g_query: jax.Array) -> jax.Array:
 
 @jax.jit
 def _add_row(db: KeyframeDB, idx, p, q, gdesc, desc, kp_norm, kp_px,
-             pts_w, pts_ok, kp_ok, segment):
+             pts_w, pts_ok, kp_ok, segment, tid):
     return db._replace(
         count=jnp.maximum(db.count, idx + 1),
         p=db.p.at[idx].set(p), q=db.q.at[idx].set(q),
@@ -142,27 +147,31 @@ def _add_row(db: KeyframeDB, idx, p, q, gdesc, desc, kp_norm, kp_px,
         pts_w=db.pts_w.at[idx].set(pts_w),
         pts_ok=db.pts_ok.at[idx].set(pts_ok),
         kp_ok=db.kp_ok.at[idx].set(kp_ok),
-        segment=db.segment.at[idx].set(segment))
+        segment=db.segment.at[idx].set(segment),
+        tid=db.tid.at[idx].set(tid))
 
 
-@jax.jit
-def _geometric_verify(db: KeyframeDB, cur, old, key):
+@functools.partial(jax.jit, static_argnames=("max_dist", "ratio", "hyps"))
+def _geometric_verify(db: KeyframeDB, cur, old, key, *, max_dist, ratio,
+                      hyps, thresh_sq):
     """Match cur→old descriptors, F-RANSAC on normalized coords.
+    Gates come from LoopConfig (match_max_dist/match_ratio/geo_ransac_px
+    scaled by the active camera's focal — no baked-in EuRoC focal).
     Returns (match_idx [Nf], ok [Nf], n_inliers)."""
     m = brief_mod.match_descriptors(
         db.desc[cur], db.desc[old], db.kp_ok[cur], db.kp_ok[old],
-        max_dist=80, ratio=0.85)
+        max_dist=max_dist, ratio=ratio)
     obs_cur = db.kp_norm[cur]
     obs_old = db.kp_norm[old, m.idx]
     rr = ransac_mod.ransac_fundamental(
-        obs_cur, obs_old, m.ok, key, 256, (2.0 / 460.0) ** 2)
+        obs_cur, obs_old, m.ok, key, hyps, thresh_sq)
     ok = m.ok & rr.inliers
     return m.idx, ok, jnp.sum(ok)
 
 
 @jax.jit
 def _loop_relative_pose(db: KeyframeDB, cur, old, match_idx, match_ok,
-                        tic, qic):
+                        tic, qic, max_msr):
     """PnP the old keyframe against the current keyframe's world points
     (solveOldPoseByPnP): returns (t_rel in old frame, yaw_rel, ok).
 
@@ -180,7 +189,7 @@ def _loop_relative_pose(db: KeyframeDB, cur, old, match_idx, match_ok,
     p0_c = p0_b + lie.quat_rotate(q0_b, tic)
     p_c, q_c, msr = ransac_mod.pnp_gn(pts, obs_old, ok, p0_c, q0_c,
                                       iters=10)
-    good = (jnp.sum(ok) >= 10) & jnp.isfinite(msr) & (msr < 5e-3)
+    good = (jnp.sum(ok) >= 10) & jnp.isfinite(msr) & (msr < max_msr)
     # Back to the body pose: T_wb = T_wc · T_cb.
     q_old_new = lie.quat_mul(q_c, lie.quat_conj(qic))
     p_old_new = p_c - lie.quat_rotate(q_old_new, tic)
@@ -257,11 +266,14 @@ class LoopCloser:
     # -- insertion ---------------------------------------------------------
 
     def add_keyframe(self, img, p, q, window_pts_px, window_pts_ok,
-                     window_pts_w, window_pts_w_ok) -> int:
+                     window_pts_w, window_pts_w_ok,
+                     window_ids=None) -> int:
         """Insert a keyframe; returns its slot index.
 
         p/q: VIO pose (body in world); window_*: the sliding window's
-        tracked features at this frame with their world points.
+        tracked features at this frame with their world points;
+        window_ids: [Mw] global track ids of the window rows (enables
+        cross-keyframe landmark association for global BA).
         """
         idx = int(self.db.count)
         K = self.db.p.shape[0]
@@ -278,6 +290,10 @@ class LoopCloser:
         pts_w = jnp.zeros((self.Nf, 3), jnp.float32).at[:Mw].set(window_pts_w)
         pts_ok = jnp.zeros((self.Nf,), bool).at[:Mw].set(
             window_pts_w_ok & window_pts_ok)
+        tid = jnp.full((self.Nf,), -1, jnp.int32)
+        if window_ids is not None:
+            tid = tid.at[:Mw].set(jnp.where(window_pts_ok,
+                                            jnp.asarray(window_ids), -1))
 
         # Drift-compose the pose on insertion (keyfame_database.cpp:21-42).
         p_corr = jnp.asarray(self.r_drift) @ p + jnp.asarray(self.t_drift)
@@ -286,7 +302,7 @@ class LoopCloser:
 
         self.db = _add_row(self.db, jnp.asarray(idx), p_corr, q_corr, gdesc,
                            desc, kp_norm, pts_px, pts_w, pts_ok, kp_ok,
-                           jnp.asarray(self.segment, jnp.int32))
+                           jnp.asarray(self.segment, jnp.int32), tid)
         if self.vocab is not None:
             self._bow_row(idx)
         else:
@@ -353,7 +369,7 @@ class LoopCloser:
         # Temporal consistency (k=1): previous query matched nearby
         # (previous island overlaps / is adjacent to this one).
         consistent = (self.last_match is not None
-                      and abs(self.last_match - best) <= 10)
+                      and abs(self.last_match - best) <= lp.temporal_radius)
         self.last_match = best
         if lp.temporal_k > 0 and not consistent:
             return None
@@ -361,14 +377,18 @@ class LoopCloser:
         # Geometric verification.
         self.key, sub = jax.random.split(self.key)
         midx, mok, n_in = _geometric_verify(
-            self.db, jnp.asarray(cur_idx), jnp.asarray(best), sub)
+            self.db, jnp.asarray(cur_idx), jnp.asarray(best), sub,
+            max_dist=lp.match_max_dist, ratio=lp.match_ratio,
+            hyps=lp.geo_ransac_hyps,
+            thresh_sq=jnp.asarray(
+                (lp.geo_ransac_px / self.cfg.camera.focal) ** 2))
         n_in = int(n_in)
         if n_in < lp.min_loop_matches:
             return None
 
         t_rel, yaw_rel, good, msr = _loop_relative_pose(
             self.db, jnp.asarray(cur_idx), jnp.asarray(best), midx, mok,
-            self.tic, self.qic)
+            self.tic, self.qic, jnp.asarray(lp.pnp_max_msr))
         if not bool(good):
             return None
         # Loop sanity rejection (ViewController.mm:836-840).
@@ -400,6 +420,18 @@ class LoopCloser:
             loop_w=self.graph.loop_w.at[e].set(1.0))
         self.n_loops += 1
 
+    def update_loop_edge(self, e: int, t_rel: np.ndarray, yaw_rel: float):
+        """Refine an existing loop edge with the window-solve-derived
+        relative pose (reference reads the constraint off the SOLVED
+        window, VINS.cpp:663-680, and the pose graph consumes that —
+        not the one-shot detection-time PnP)."""
+        if e < 0 or e >= self.n_loops:
+            return
+        self.graph = self.graph._replace(
+            loop_t=self.graph.loop_t.at[e].set(
+                jnp.asarray(t_rel, self.graph.loop_t.dtype)),
+            loop_yaw=self.graph.loop_yaw.at[e].set(float(yaw_rel)))
+
     def optimize(self) -> Tuple[np.ndarray, np.ndarray]:
         """Run the 4-DoF pose graph; update db poses and drift.
         Returns (r_drift [3,3], t_drift [3])."""
@@ -423,6 +455,43 @@ class LoopCloser:
         self.r_drift = np.asarray(R_d)
         self.t_drift = np.asarray(t_d)
         return self.r_drift, self.t_drift
+
+    def global_ba(self, mesh=None, iters: int = 8,
+                  max_keyframes: int = 64, max_landmarks: int = 512):
+        """Global refinement pass over the REAL map: harvest keyframe
+        poses + tracked landmarks from the DB into a BAProblem and run
+        the (optionally landmark-sharded, psum-reduced) Schur BA; refined
+        poses land back in the published (drift-corrected) pose columns.
+        Scale-out role of keyfame_database.cpp:140-356 (SURVEY §2.3/§5.8).
+
+        mesh: a jax Mesh with a `block` axis for the distributed path;
+        None solves on one device. Returns the final cost or None if the
+        map has no multi-keyframe tracks yet."""
+        from ..parallel.dist_ba import solve_ba, solve_ba_sharded
+        from ..parallel.harvest import apply_ba_result, harvest_ba_problem
+
+        res = harvest_ba_problem(self.db, self.tic, self.qic,
+                                 max_keyframes=max_keyframes,
+                                 max_landmarks=max_landmarks)
+        if res is None:
+            return None
+        if mesh is not None:
+            bs = mesh.shape.get("block", 1)
+            L = res.prob.mask.shape[0]
+            Lp = -(-L // bs) * bs
+            if Lp != L:
+                padL = lambda a: jnp.concatenate(
+                    [a, jnp.zeros((Lp - L,) + a.shape[1:], a.dtype)], 0)
+                res = res._replace(
+                    state=res.state._replace(pts=padL(res.state.pts)),
+                    prob=res.prob._replace(obs=padL(res.prob.obs),
+                                           mask=padL(res.prob.mask)))
+            solved, cost, _ = solve_ba_sharded(res.state, res.prob, mesh,
+                                               iters=iters)
+        else:
+            solved, cost, _ = solve_ba(res.state, res.prob, iters=iters)
+        self.db = apply_ba_result(self.db, res, solved, self.tic, self.qic)
+        return float(cost)
 
     def new_segment(self):
         """Failure recovery: later keyframes are a new trajectory segment

@@ -22,11 +22,16 @@ from ..utils import lie
 
 
 def _normalize_points(pts: jax.Array, valid: jax.Array):
-    """Hartley normalization: zero-mean, mean distance sqrt(2)."""
+    """Hartley normalization: zero-mean, mean distance sqrt(2).
+
+    Invalid rows are excluded with `where`, not multiplication: a NaN in a
+    masked-out row (e.g. a diverged undistortion of an off-image point)
+    would otherwise poison the mean and with it EVERY hypothesis."""
     w = valid.astype(pts.dtype)[:, None]
+    pts_safe = jnp.where(valid[:, None], pts, 0.0)
     n = jnp.maximum(jnp.sum(w), 1.0)
-    mean = jnp.sum(pts * w, axis=0) / n
-    d = jnp.sqrt(jnp.sum((pts - mean) ** 2, axis=-1) + 1e-12)
+    mean = jnp.sum(pts_safe * w, axis=0) / n
+    d = jnp.sqrt(jnp.sum((pts_safe - mean) ** 2, axis=-1) + 1e-12)
     scale = 1.41421356 / jnp.maximum(jnp.sum(d * valid) / n, 1e-9)
     T = jnp.array([[scale, 0.0, -scale * mean[0]],
                    [0.0, scale, -scale * mean[1]],

@@ -34,8 +34,8 @@ from .core import feature_manager as fm
 from .core import initialization as init_mod
 from .core import pnp as pnp_mod
 from .core import preintegration as pre_mod
-from .core.estimator import BackendState, FrameInput, backend_step, \
-    landmark_world_points
+from .core.estimator import BackendState, FrameInput, LoopInput, \
+    backend_step, landmark_world_points
 from .core.factors import Extrinsics
 from .core.state import FeatureTable
 from .frontend.tracker import FeatureTracker
@@ -52,6 +52,12 @@ def _np_quat_to_rotmat(q: np.ndarray) -> np.ndarray:
         [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
         [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
     ], np.float32)
+
+
+def _np_yaw(q: np.ndarray) -> float:
+    """Yaw (Z-Y-X convention, reference Utility::R2ypr) of a wxyz quat."""
+    R = _np_quat_to_rotmat(q)
+    return float(np.arctan2(R[1, 0], R[0, 0]))
 
 
 def _np_rotmat_to_quat(R: np.ndarray) -> np.ndarray:
@@ -78,6 +84,23 @@ def _np_rotmat_to_quat(R: np.ndarray) -> np.ndarray:
     return q / np.linalg.norm(q)
 
 
+@jax.jit
+def _reanchor_window_jit(window, p_anchor, yaw_anchor):
+    """Rigidly move a window so frame 0 sits at p_anchor with yaw_anchor
+    (yaw-only gauge alignment; roll/pitch are gravity-observable and must
+    not be touched). Anchored inverse depths are frame-relative and
+    invariant under the rigid transform."""
+    dyaw = yaw_anchor - lie.rotmat_to_ypr(lie.quat_to_rotmat(window.q[0]))[0]
+    R_fix = lie.ypr_to_rotmat(jnp.stack(
+        [dyaw, jnp.zeros_like(dyaw), jnp.zeros_like(dyaw)]))
+    q_fix = lie.rotmat_to_quat(R_fix)
+    p0 = window.p[0]
+    return window._replace(
+        p=(window.p - p0) @ R_fix.T + p_anchor,
+        q=jax.vmap(lambda q: lie.quat_mul(q_fix, q))(window.q),
+        v=window.v @ R_fix.T)
+
+
 class PipelineOutput(NamedTuple):
     """Per-frame result published to the consumer (viz/AR/eval)."""
 
@@ -90,6 +113,15 @@ class PipelineOutput(NamedTuple):
     n_tracked: int
     solver_cost: float
     loop_hit: Optional[int]  # matched old keyframe index, if any
+    # Drift-corrected sparse map at backend frames (None otherwise):
+    # the reference corrects the published cloud too, not just the pose
+    # (update_loop_correction, VINS.cpp:307-331), so AR overlays stay
+    # registered after a loop closure.
+    point_cloud: Optional[np.ndarray] = None   # [M, 3]
+    point_valid: Optional[np.ndarray] = None   # [M]
+    # Init-failure taxonomy / "FAILURE" on failure detection (the
+    # reference surfaces this in its UI, VINS.hpp:134-145).
+    status: str = ""
 
 
 @dataclasses.dataclass
@@ -110,8 +142,7 @@ class VinsSystem:
         cam = cfg.camera
         self.ext = ext if ext is not None else Extrinsics(
             tic=jnp.asarray(cam.tic, jnp.float32),
-            qic=lie.rotmat_to_quat(lie.ypr_to_rotmat(
-                jnp.asarray(cam.ric_ypr, jnp.float32))))
+            qic=lie.rotmat_to_quat(jnp.asarray(cam.ric_matrix())))
         self.gravity = jnp.array([0.0, 0.0, cfg.imu.gravity], jnp.float32)
 
         self.tracker = FeatureTracker(cfg, seed)
@@ -123,6 +154,11 @@ class VinsSystem:
         self._backend_step = jax.jit(
             lambda est, inp: backend_step(est, inp, cfg, self.ext,
                                           self.gravity))
+        # Constant inactive loop block (kept on device: one upload, reused
+        # every non-loop backend frame — no per-frame transfer).
+        self._loop_inactive = jax.device_put(
+            LoopInput.inactive(cfg.window.max_landmarks))
+        self._scan_jit = None  # compiled lazily by process_block
         self._pnp_step = jax.jit(
             lambda w, c, o, m: pnp_mod.pnp_step(w, c, o, m, cfg, self.ext,
                                                 self.gravity))
@@ -164,7 +200,7 @@ class VinsSystem:
 
     # -- lifecycle ----------------------------------------------------------
 
-    def reset(self):
+    def reset(self, keep_trajectory: bool = False):
         cfg = self.cfg
         F = cfg.window.num_frames
         S = cfg.window.pnp_size + 1
@@ -184,17 +220,36 @@ class VinsSystem:
         self.frame_idx = 0
         self.kf_count = 0
         self._pending_chunk: Optional[pre_mod.ImuChunk] = None
-        self.trajectory: List[np.ndarray] = []
+        self._pending_chunk_dev = None
+        if not keep_trajectory:
+            self.trajectory: List[np.ndarray] = []
+            # Re-anchor target after a failure: (p_raw, yaw) of the last
+            # good pose (reference last_P_old/last_R_old, VINS.cpp:137-142).
+            self._recover_anchor: Optional[tuple] = None
+            self._last_good: Optional[tuple] = None
+        self._pending_loop = None  # loop factors awaiting injection
 
     def _fail_reset(self):
-        """Failure recovery (VINS.cpp:463-467 + segment bump)."""
+        """Failure recovery (VINS.cpp:463-467): re-enter INITIAL, keep the
+        recorded trajectory, remember the last good pose so the re-
+        initialized window is re-anchored there (trajectory continuity,
+        VINS.cpp:131-212 new2old failure branch), and bump the loop DB's
+        trajectory segment (ViewController.mm:771-781)."""
         if self.loop is not None:
             self.loop.new_segment()
-        self.reset()
+        anchor = self._last_good
+        self.reset(keep_trajectory=True)
+        self._recover_anchor = anchor
 
     # -- helpers ------------------------------------------------------------
 
     def _merge_pending(self, chunk: pre_mod.ImuChunk) -> pre_mod.ImuChunk:
+        if self._pending_chunk_dev is not None:
+            # Returning to interactive mode after block mode: resolve the
+            # device-held pending chunk (one scalar sync).
+            pending, has = self._pending_chunk_dev
+            self._pending_chunk = pending if bool(has) else None
+            self._pending_chunk_dev = None
         if self._pending_chunk is None:
             return chunk
         return self._merge_jit(self._pending_chunk, chunk)
@@ -222,6 +277,15 @@ class VinsSystem:
         p2 = (R @ p + t).astype(np.float32)
         q2 = _np_rotmat_to_quat(R @ _np_quat_to_rotmat(q))
         return p2, q2
+
+    def _drift_correct_points(self, pts: np.ndarray) -> np.ndarray:
+        """Drift-correct the published sparse map (VINS.cpp:307-331:
+        update_loop_correction corrects the point cloud, not just poses —
+        AR overlays use these points to fit the ground plane)."""
+        if self.loop is None:
+            return pts
+        return (pts @ self.loop.r_drift.T
+                + self.loop.t_drift[None, :]).astype(np.float32)
 
     # -- main entry ---------------------------------------------------------
 
@@ -263,12 +327,28 @@ class VinsSystem:
         if len(self.boot) < F:
             return self._null_output(t, front)
 
-        # Assemble the boot window and attempt initialization.
+        # Assemble the boot window and attempt initialization. The slot
+        # table has no eviction during this build (slides do that in
+        # steady state), so track churn across 11 boot frames can exceed
+        # the landmark budget and starve the NEWEST frames of slots
+        # (observed on the EuRoC fixture: 0 correspondences to frame
+        # F-1). Pre-filter to ids seen in >=2 boot frames — the only
+        # tracks initialization can use — keeping the most-observed ids
+        # when even those overflow.
         L = cfg.window.max_landmarks
+        ids_all = np.stack([np.asarray(bf.ids) for bf in self.boot])
+        ok_all = np.stack([np.asarray(bf.valid) for bf in self.boot])
+        ok_all &= ids_all >= 0
+        uniq, cnt = np.unique(ids_all[ok_all], return_counts=True)
+        multi = cnt >= 2
+        keep = uniq[multi]
+        if len(keep) > L:
+            keep = keep[np.argsort(-cnt[multi], kind="stable")[:L]]
         feats = FeatureTable.empty(F, L)
         for f, bf in enumerate(self.boot):
+            sel = ok_all[f] & np.isin(ids_all[f], keep)
             feats = self._ingest(feats, jnp.asarray(f), bf.ids, bf.obs,
-                                 bf.valid)
+                                 jnp.asarray(sel))
         chunks = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[bf.chunk for bf in self.boot[1:]])
         res = init_mod.initialize(feats, chunks, self.ext, cfg)
@@ -288,6 +368,16 @@ class VinsSystem:
             self.boot.pop(0)
             return self._null_output(t, front, status="FAIL_CHECK")
 
+        # Failure-recovery continuity: the fresh init places frame 0 at the
+        # origin with zero yaw; re-anchor it at the last good pose so the
+        # trajectory does not teleport (VINS.cpp:137-142).
+        if self._recover_anchor is not None:
+            p_anchor, yaw_anchor = self._recover_anchor
+            window = _reanchor_window_jit(
+                window, jnp.asarray(p_anchor, jnp.float32),
+                jnp.asarray(yaw_anchor, jnp.float32))
+            self._recover_anchor = None
+
         self.est = BackendState.bootstrap(cfg, window, feats, chunks,
                                           self.ext, self.gravity)
         self.initialized = True
@@ -295,6 +385,7 @@ class VinsSystem:
         self._sync_pnp_from_backend()
         p_raw, q_raw, ntr = jax.device_get(
             (window.p[F - 1], window.q[F - 1], front.n_tracked))
+        self._last_good = (p_raw, _np_yaw(q_raw))
         p, q = self._drift_correct(p_raw, q_raw)
         return PipelineOutput(
             t=t, p=p, q=q, p_raw=p_raw,
@@ -334,20 +425,51 @@ class VinsSystem:
             return self._null_output(t, front, initialized=True)
 
         self._pending_chunk = None
+        # Inject pending loop factors into this solve (VINS.cpp:571-637):
+        # the constraint persists while its window frame stays in the
+        # window, each solve refining the pose-graph edge.
+        if self._pending_loop is not None:
+            loop_inp = self._pending_loop["dev"]._replace(
+                frame=jnp.asarray(self._pending_loop["frame"], jnp.int32))
+        else:
+            loop_inp = self._loop_inactive
         inp = FrameInput(chunk=merged, ids=front.ids, obs=front.obs,
-                         obs_valid=front.obs_valid)
+                         obs_valid=front.obs_valid, loop=loop_inp)
         self.est, out = self._backend_step(self.est, inp)
 
         # Single combined fetch of every scalar/pose the host logic reads.
-        failure, is_kf, pose_p, pose_q, cost, ntr = jax.device_get(
+        (failure, is_kf, pose_p, pose_q, cost, ntr, pts_w, pts_ok,
+         loop_rel_t, loop_rel_yaw, loop_good) = jax.device_get(
             (out.failure, out.is_keyframe, out.pose_p, out.pose_q,
-             out.stats.final_cost, front.n_tracked))
+             out.stats.final_cost, front.n_tracked, out.point_cloud,
+             out.point_valid, out.loop_rel_t, out.loop_rel_yaw,
+             out.loop_good))
 
         if bool(failure):
             self._fail_reset()
             return self._null_output(t, front, status="FAILURE")
 
+        self._last_good = (pose_p, _np_yaw(pose_q))
         self._sync_pnp_from_backend()
+
+        # Loop bookkeeping: refine the pose-graph edge with the solved
+        # relative pose (VINS.cpp:663-680), advance the loop frame through
+        # the slide, and run the 4-DoF pose graph when the loop-carrying
+        # frame retires from the window (ViewController.mm:850-875).
+        if self._pending_loop is not None:
+            pl = self._pending_loop
+            if bool(loop_good):
+                self.loop.update_loop_edge(pl["edge"], loop_rel_t,
+                                           float(loop_rel_yaw))
+            if bool(is_kf):
+                pl["frame"] -= 1          # MARGIN_OLD shifts every frame
+                retired = pl["frame"] < 1
+            else:
+                # MARGIN_SECOND_NEW overwrites slot F-2.
+                retired = pl["frame"] == cfg.window.num_frames - 2
+            if retired:
+                self.loop.optimize()
+                self._pending_loop = None
 
         loop_hit = None
         if self.use_loop and bool(is_kf):
@@ -356,11 +478,12 @@ class VinsSystem:
                 loop_hit = self._handle_keyframe(img, out)
 
         p, q = self._drift_correct(pose_p, pose_q)
+        pts_corr = self._drift_correct_points(pts_w)
         return PipelineOutput(
             t=t, p=p, q=q, p_raw=pose_p,
             is_keyframe=bool(is_kf), initialized=True,
             n_tracked=int(ntr), solver_cost=float(cost),
-            loop_hit=loop_hit)
+            loop_hit=loop_hit, point_cloud=pts_corr, point_valid=pts_ok)
 
     def _sync_pnp_from_backend(self):
         """Anchor the pnp window with the newest backend solution and
@@ -370,17 +493,201 @@ class VinsSystem:
         self.pnp = self._sync_pnp_jit(self.pnp, self.est)
 
     def _handle_keyframe(self, img, out) -> Optional[int]:
-        """Insert keyframe + loop detect + pose-graph optimize."""
+        """Insert keyframe + loop detect; on a hit, stage loop factors for
+        the following window solves (the pose graph runs when the loop
+        frame retires — see _process_nonlinear)."""
         pts_w_t, ok_t, kf_p, kf_q = self._kf_prep_jit(
             self.est, self.tracker.state)
         idx = self.loop.add_keyframe(
             img, kf_p, kf_q, self.tracker.state.pts,
-            self.tracker.state.valid, pts_w_t, ok_t)
+            self.tracker.state.valid, pts_w_t, ok_t,
+            window_ids=self.tracker.state.ids)
         hit = self.loop.detect(idx)
-        if hit is not None:
+        if hit is None:
+            return None
+
+        # A new hit supersedes any still-pending loop (reference front_pose
+        # replacement, VINS.cpp:575-578): finalize the old one first.
+        if self._pending_loop is not None:
             self.loop.optimize()
-            return hit.old_idx
-        return None
+            self._pending_loop = None
+
+        # Re-order the matched old-keyframe observations (current-keyframe
+        # feature-row order; rows [0, Mw) are tracker slots) into BACKEND
+        # landmark slots by track id, so the solver can join them to its
+        # landmark table directly.
+        M = self.cfg.window.max_landmarks
+        tr_ids = np.asarray(self.tracker.state.ids)
+        tr_ok = np.asarray(self.tracker.state.valid)
+        Mw = tr_ids.shape[0]
+        ok_rows = hit.match_ok[:Mw] & tr_ok
+        slot_ids = np.asarray(self.est.feats.track_id)
+        id2row = {int(tid): r for r, tid in enumerate(tr_ids)
+                  if ok_rows[r] and tid >= 0}
+        obs_by_slot = np.zeros((M, 2), np.float32)
+        ok_by_slot = np.zeros((M,), bool)
+        for m, tid in enumerate(slot_ids):
+            r = id2row.get(int(tid))
+            if r is not None:
+                obs_by_slot[m] = hit.obs_old[r]
+                ok_by_slot[m] = True
+        if ok_by_slot.sum() >= 10:
+            F = self.cfg.window.num_frames
+            self._pending_loop = {
+                "edge": self.loop.n_loops - 1,
+                "old_idx": hit.old_idx,
+                # The keyframe sat at F-1 during its own solve; its post-
+                # slide slot (where the NEXT solve sees it) is F-2.
+                "frame": F - 2,
+                "dev": LoopInput(
+                    obs_old=jnp.asarray(obs_by_slot),
+                    ok=jnp.asarray(ok_by_slot),
+                    ids=jnp.asarray(slot_ids),
+                    frame=jnp.asarray(F - 2, jnp.int32),
+                    weight=jnp.asarray(1.0, jnp.float32)),
+            }
+        else:
+            # Too few slot-resolvable matches: fall back to the one-shot
+            # PnP constraint already in the graph.
+            self.loop.optimize()
+        return hit.old_idx
+
+    # -- streaming block mode ------------------------------------------------
+
+    def _scan_state(self):
+        from .stream import ScanState
+
+        N = self.cfg.window.max_imu_per_edge
+        if self._pending_chunk_dev is not None:
+            pending, has = self._pending_chunk_dev
+        elif self._pending_chunk is not None:
+            pending, has = self._pending_chunk, jnp.asarray(True)
+        else:
+            pending, has = pre_mod.ImuChunk.empty(N), jnp.asarray(False)
+        return ScanState(
+            tracker=self.tracker.state, pnp=self.pnp, est=self.est,
+            pending=pending, has_pending=has,
+            phase=jnp.asarray(self.frame_idx % self.cfg.freq, jnp.int32))
+
+    def dispatch_block(self, imgs, chunks):
+        """Phase 1 of block processing: launch the fused device scan
+        (stream.run_vio_scan) for a staged block and commit the resulting
+        device state handles WITHOUT synchronizing. The caller may
+        dispatch the NEXT block immediately (XLA queues it behind this
+        one) and then finalize this block's outputs on the host while the
+        next block executes — the TPU-native version of the reference's
+        thread-pipeline latency hiding (ViewController.mm:276-294).
+
+        Returns an opaque handle for finalize_block."""
+        assert self.initialized, "block mode requires an initialized system"
+        from .stream import run_vio_scan
+
+        if self._scan_jit is None:
+            cfg = self.cfg
+            self._scan_jit = jax.jit(
+                lambda s, im, ch: run_vio_scan(
+                    s, im, ch, cfg, self.ext, self.gravity,
+                    use_pnp=self.use_pnp))
+        n = int(imgs.shape[0])
+        state2, outs = self._scan_jit(self._scan_state(),
+                                      jnp.asarray(imgs, jnp.float32), chunks)
+        # Commit device state (handles only; no host sync). Loop-closure
+        # drift never feeds the scan state, so dispatching ahead is safe.
+        self.tracker.state = state2.tracker
+        self.pnp = state2.pnp
+        self.est = state2.est
+        self._pending_chunk_dev = (state2.pending, state2.has_pending)
+        self._pending_chunk = None
+        self.frame_idx += n
+        return (outs, imgs, n)
+
+    def finalize_block(self, handle, ts=None):
+        """Phase 2: fetch a dispatched block's outputs, run host-side
+        loop closure for its keyframes, drift-correct, and publish."""
+        outs, imgs, n = handle
+        outs_h = jax.device_get(outs)
+
+        # Failure inside the block: the scan freezes the estimator; the
+        # host re-enters INITIAL from the failure point.
+        fail_idx = np.flatnonzero(outs_h.failure)
+        n_ok = int(fail_idx[0]) + 1 if len(fail_idx) else n
+
+        # Host loop-closure for flagged keyframes (detection-time
+        # constraints; optimize on hit).
+        for k in range(n_ok):
+            if not (self.use_loop and bool(outs_h.is_keyframe[k])):
+                continue
+            self.kf_count += 1
+            if self.kf_count % self.cfg.loop.loop_freq != 0:
+                continue
+            idx = self.loop.add_keyframe(
+                jnp.asarray(imgs[k], jnp.float32),
+                jnp.asarray(outs_h.p[k]), jnp.asarray(outs_h.q[k]),
+                jnp.asarray(outs_h.kf_pts_px[k]),
+                jnp.asarray(outs_h.kf_valid[k]),
+                jnp.asarray(outs_h.kf_pts_w[k]),
+                jnp.asarray(outs_h.kf_w_ok[k]),
+                window_ids=jnp.asarray(outs_h.kf_ids[k]))
+            if self.loop.detect(idx) is not None:
+                self.loop.optimize()
+
+        results = []
+        for k in range(n_ok):
+            p_raw = np.asarray(outs_h.p[k])
+            q_raw = np.asarray(outs_h.q[k])
+            p, q = self._drift_correct(p_raw, q_raw)
+            t = float(ts[k]) if ts is not None else 0.0
+            results.append(PipelineOutput(
+                t=t, p=p, q=q, p_raw=p_raw,
+                is_keyframe=bool(outs_h.is_keyframe[k]), initialized=True,
+                n_tracked=int(outs_h.n_tracked[k]),
+                solver_cost=float(outs_h.solver_cost[k]), loop_hit=None))
+            self.trajectory.append(p)
+        if len(fail_idx):
+            k = max(n_ok - 2, 0)
+            self._last_good = (np.asarray(outs_h.p[k]),
+                               _np_yaw(np.asarray(outs_h.q[k])))
+            self._fail_reset()
+            results.append(PipelineOutput(
+                t=0.0, p=np.zeros(3, np.float32),
+                q=np.array([1, 0, 0, 0], np.float32),
+                p_raw=np.zeros(3, np.float32), is_keyframe=False,
+                initialized=False, n_tracked=0, solver_cost=0.0,
+                loop_hit=None, status="FAILURE"))
+        return results
+
+    def process_block(self, imgs, chunks, ts=None):
+        """Synchronous block processing: dispatch + finalize in one call.
+        imgs: [N, H, W]; chunks: stacked ImuChunk [N, ...]."""
+        return self.finalize_block(self.dispatch_block(imgs, chunks), ts)
+
+    def process_stream(self, imgs, chunks, block: int = 48, ts=None):
+        """Pipelined block processing of a long staged sequence: block
+        k+1's device scan is dispatched BEFORE block k's host-side work
+        (output fetch, loop closure, pose graph), so host and device
+        overlap — the role the reference's five threads play
+        (SURVEY.md §2.3 row 1). Returns the concatenated outputs."""
+        n = int(imgs.shape[0])
+        results = []
+        pending = None
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            handle = self.dispatch_block(
+                imgs[s:e], jax.tree.map(lambda x: x[s:e], chunks))
+            if pending is not None:
+                h, (ps, pe) = pending
+                results.extend(self.finalize_block(
+                    h, ts[ps:pe] if ts is not None else None))
+                if not self.initialized:
+                    # Failure in the previous block: the just-dispatched
+                    # block ran on a frozen estimator — discard it.
+                    return results
+            pending = (handle, (s, e))
+        if pending is not None:
+            h, (ps, pe) = pending
+            results.extend(self.finalize_block(
+                h, ts[ps:pe] if ts is not None else None))
+        return results
 
     def _null_output(self, t, front, status: str = "",
                      initialized: bool = False) -> PipelineOutput:
@@ -389,4 +696,4 @@ class VinsSystem:
                                                        np.float32),
             p_raw=np.zeros(3, np.float32), is_keyframe=False,
             initialized=initialized, n_tracked=int(front.n_tracked),
-            solver_cost=0.0, loop_hit=None)
+            solver_cost=0.0, loop_hit=None, status=status)

@@ -1,0 +1,179 @@
+"""Whole-pipeline streaming scan: N camera frames through ONE device
+program.
+
+The reference hides latency with five threads sharing mutable state
+(ViewController.mm:276-294); the TPU-native equivalent of that latency
+architecture is to remove the host from the per-frame path entirely:
+stage a block of frames in HBM and `lax.scan` the full per-frame pipeline
+— CLAHE → pyramid → fused-Pallas KLT → F-RANSAC → top-up (frontend), the
+30 Hz motion-only solve, and (every `freq`-th frame, under `lax.cond`) the
+complete sliding-window backend with marginalization + slide + pnp resync.
+Host dispatch, which dominates per-frame latency over a tunneled chip, is
+paid once per block instead of ~10 times per frame; loop-closure work
+(infrequent, ~1 Hz) stays on the host and overlaps the NEXT block's scan
+(see pipeline.VinsSystem.process_block).
+
+This is both the throughput path (bench.py "system_frames_per_s") and the
+offline/dataset-rate processing mode.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import VinsConfig
+from .core import feature_manager as fm
+from .core import marginalization as marg
+from .core import pnp as pnp_mod
+from .core import preintegration as pre_mod
+from .core.estimator import (BackendState, FrameInput, backend_step,
+                             landmark_world_points)
+from .core.factors import Extrinsics
+from .frontend import tracker as tr_mod
+
+
+class ScanState(NamedTuple):
+    """Everything carried frame-to-frame by the fused pipeline scan."""
+
+    tracker: tr_mod.TrackerState
+    pnp: pnp_mod.PnpWindow
+    est: BackendState
+    pending: pre_mod.ImuChunk    # IMU accumulated since last backend frame
+    has_pending: jax.Array       # [] bool
+    phase: jax.Array             # [] int32; 0 = backend frame
+
+
+class ScanOutput(NamedTuple):
+    """Per-frame outputs (stacked [N, ...] by the scan)."""
+
+    p: jax.Array             # [3] published pose (backend or 30 Hz pnp)
+    q: jax.Array             # [4]
+    is_backend: jax.Array    # [] bool
+    is_keyframe: jax.Array   # [] bool (meaningful on backend frames)
+    failure: jax.Array       # [] bool
+    solver_cost: jax.Array   # []
+    n_tracked: jax.Array     # [] int32
+    # Keyframe harvest (tracker-slot order) for host-side loop closure:
+    # pixel positions, world points, track ids and masks of the tracked
+    # features at this frame — what LoopCloser.add_keyframe consumes.
+    kf_pts_px: jax.Array     # [Mw, 2]
+    kf_valid: jax.Array      # [Mw]
+    kf_pts_w: jax.Array      # [Mw, 3]
+    kf_w_ok: jax.Array       # [Mw]
+    kf_ids: jax.Array        # [Mw] int32
+
+
+def _gather_by_id(dst_ids, src_ids, src_vals, src_valid):
+    """For each dst id, pull the matching src slot's value."""
+    eq = ((dst_ids[:, None] == src_ids[None, :])
+          & (src_ids[None, :] >= 0) & src_valid[None, :]
+          & (dst_ids[:, None] >= 0))
+    has = jnp.any(eq, axis=1)
+    j = jnp.argmax(eq, axis=1)
+    return jax.tree.map(lambda v: v[j], src_vals), has
+
+
+def _sync_pnp(pnp: pnp_mod.PnpWindow, est: BackendState, cfg: VinsConfig,
+              ext: Extrinsics) -> pnp_mod.PnpWindow:
+    """Anchor the pnp window at the newest backend solution and refresh
+    its fixed landmark map (ViewController.mm:731-758)."""
+    F = cfg.window.num_frames
+    S = cfg.window.pnp_size + 1
+    win = est.window
+    pnp = pnp_mod.anchor_from_backend(
+        pnp, jnp.asarray(S - 1), win.p[F - 1], win.q[F - 1],
+        win.v[F - 1], win.ba[F - 1], win.bg[F - 1])
+    pts_w = landmark_world_points(win, est.feats, ext)
+    valid = est.feats.valid & (win.inv_depth > 1e-3)
+    track_len = jnp.sum(est.feats.mask, axis=0)
+    return pnp_mod.update_features(pnp, pts_w, valid, track_len)
+
+
+def vio_scan_step(state: ScanState, img: jax.Array,
+                  chunk: pre_mod.ImuChunk, cfg: VinsConfig,
+                  ext: Extrinsics, gravity: jax.Array,
+                  use_pnp: bool = True) -> Tuple[ScanState, ScanOutput]:
+    """One camera frame of the fused pipeline (pure, scan-able)."""
+    F = cfg.window.num_frames
+    Mw = cfg.frontend.max_features
+    dtype = gravity.dtype
+
+    tracker, front = tr_mod.track_step(state.tracker, img, cfg)
+
+    merged = jax.lax.cond(
+        state.has_pending,
+        lambda: marg.merge_chunks(state.pending, chunk),
+        lambda: chunk)
+
+    # 30 Hz motion-only pose on every frame (reference USE_PNP path).
+    if use_pnp:
+        obs_l, has_l = _gather_by_id(
+            state.est.feats.track_id, front.ids, front.obs, front.obs_valid)
+        pnp, (p30, q30, _v30) = pnp_mod.pnp_step(
+            state.pnp, chunk, obs_l, has_l, cfg, ext, gravity)
+    else:
+        pnp = state.pnp
+        p30 = state.est.window.p[F - 1]
+        q30 = state.est.window.q[F - 1]
+
+    is_backend = state.phase == 0
+
+    def do_backend(operand):
+        est, pnp_in = operand
+        inp = FrameInput(chunk=merged, ids=front.ids, obs=front.obs,
+                         obs_valid=front.obs_valid)
+        est2, out = backend_step(est, inp, cfg, ext, gravity)
+        # Freeze on failure (host decides recovery between blocks).
+        est2 = jax.tree.map(
+            lambda a, b: jnp.where(out.failure, a, b), est, est2)
+        pnp2 = _sync_pnp(pnp_in, est2, cfg, ext)
+        # Keyframe harvest in tracker-slot order (pipeline._kf_prep_impl).
+        win = est2.window
+        pts_w = landmark_world_points(win, est2.feats, ext)
+        pts_w_t, has_t = _gather_by_id(
+            tracker.ids, est2.feats.track_id, pts_w,
+            est2.feats.valid & (win.inv_depth > 1e-3))
+        return (est2, pnp2, out.pose_p, out.pose_q, out.is_keyframe,
+                out.failure, out.stats.final_cost, pts_w_t,
+                has_t & tracker.valid)
+
+    def skip_backend(operand):
+        est, pnp_in = operand
+        return (est, pnp_in, p30, q30, jnp.asarray(False),
+                jnp.asarray(False), jnp.zeros((), dtype),
+                jnp.zeros((Mw, 3), dtype), jnp.zeros((Mw,), bool))
+
+    (est, pnp, p_out, q_out, is_kf, failure, cost, kf_pts_w,
+     kf_w_ok) = jax.lax.cond(is_backend, do_backend, skip_backend,
+                             (state.est, pnp))
+
+    new_state = ScanState(
+        tracker=tracker, pnp=pnp, est=est,
+        pending=jax.tree.map(
+            lambda m, z: jnp.where(is_backend, z, m), merged,
+            jax.tree.map(jnp.zeros_like, merged)),
+        has_pending=~is_backend,
+        phase=(state.phase + 1) % cfg.freq)
+
+    out = ScanOutput(
+        p=p_out, q=q_out, is_backend=is_backend, is_keyframe=is_kf,
+        failure=failure, solver_cost=cost, n_tracked=front.n_tracked,
+        kf_pts_px=tracker.pts, kf_valid=tracker.valid,
+        kf_pts_w=kf_pts_w, kf_w_ok=kf_w_ok, kf_ids=tracker.ids)
+    return new_state, out
+
+
+def run_vio_scan(state: ScanState, imgs: jax.Array,
+                 chunks: pre_mod.ImuChunk, cfg: VinsConfig,
+                 ext: Extrinsics, gravity: jax.Array,
+                 use_pnp: bool = True) -> Tuple[ScanState, ScanOutput]:
+    """Scan a whole staged block of frames: imgs [N,H,W], chunks [N,...].
+    ONE compiled program; jit and reuse across blocks."""
+
+    def f(s, xs):
+        img, chunk = xs
+        return vio_scan_step(s, img, chunk, cfg, ext, gravity, use_pnp)
+
+    return jax.lax.scan(f, state, (imgs, chunks))

@@ -33,10 +33,16 @@ def pixel_to_normalized(cam: CameraConfig, uv: jax.Array) -> jax.Array:
         return jnp.stack([x, y], axis=-1)
 
     xd = jnp.stack([x, y], axis=-1)
+    # Clamp each iterate: for points outside the calibrated image (e.g.
+    # KLT results that drifted off-frame before the border cull) the
+    # fixed-point iteration can diverge to inf/NaN, and a single such
+    # value poisons downstream reductions. The clamp bound is far outside
+    # any real FOV, so in-image points are unaffected.
+    lim = 4.0
 
     def body(_, xu):
         d = _distort_delta(cam, xu)
-        return xd - d
+        return jnp.clip(xd - d, -lim, lim)
 
     xu = jax.lax.fori_loop(0, 20, body, xd)
     return xu
