@@ -108,3 +108,58 @@ def test_excited_window_passes_imu_gate():
 
     syn = make_synthetic_window(CFG, n_landmarks=128, seed=11)
     assert imu_excitation(syn.chunks, CFG) > CFG.init_min_acc_var
+
+
+def test_planar_scene_init_is_safe():
+    """All landmarks on a single plane: the 8-point essential is
+    degenerate there (the reference's Nister 5-point is not,
+    motion_estimator.cpp:203). The system-level contract is graceful
+    degradation: the SfM reprojection and alignment gates must reject a
+    wrong-geometry bootstrap — initialization either succeeds with
+    correct metric geometry or fails with a FAIL_* status, never accepts
+    garbage."""
+    import dataclasses
+
+    syn = make_synthetic_window(CFG, n_landmarks=120, seed=31)
+    # Flatten all landmarks onto z = 0.5 and rebuild observations.
+    lms = np.array(syn.landmarks)
+    lms[:, 2] = 0.5
+    from vins_tpu.utils import lie as lie_mod
+    Rwb = np.asarray(lie_mod.quat_to_rotmat(syn.state.q))
+    R_ic = np.asarray(lie_mod.quat_to_rotmat(syn.ext.qic))
+    t_ic = np.asarray(syn.ext.tic)
+    F_ = CFG.window.num_frames
+    M = CFG.window.max_landmarks
+    obs = np.zeros((F_, M, 2), np.float32)
+    mask = np.zeros((F_, M), bool)
+    n = len(lms)
+    for f in range(F_):
+        pb = (lms - np.asarray(syn.state.p[f])) @ Rwb[f]
+        pc = (pb - t_ic) @ R_ic
+        z = pc[:, 2]
+        ok = z > 0.3
+        xy = pc[:, :2] / np.maximum(z[:, None], 1e-6)
+        ok &= (np.abs(xy) < 0.7).all(1)
+        obs[f, :n] = xy
+        mask[f, :n] = ok
+    first = np.argmax(mask, axis=0).astype(np.int32)
+    valid = mask.sum(0) >= 2
+    feats = syn.feats._replace(
+        obs=jnp.asarray(obs), mask=jnp.asarray(mask),
+        anchor=jnp.asarray(first), valid=jnp.asarray(valid),
+        track_id=jnp.asarray(np.where(valid, np.arange(M), -1),
+                             dtype=jnp.int32))
+
+    res = initialize(feats, syn.chunks, syn.ext, CFG)
+    if res.status == InitStatus.SUCCESS:
+        # Accepting is fine ONLY if the geometry is right (init fixes its
+        # own gauge at frame 0 — compare aligned, and require the metric
+        # scale to be honest).
+        from vins_tpu.io import evaluate
+
+        a = evaluate.ate_rmse(np.asarray(res.window.p),
+                              np.asarray(syn.state.p))
+        assert a.rmse < 0.1, (res.status, a.rmse)
+        a_s = evaluate.ate_rmse(np.asarray(res.window.p),
+                                np.asarray(syn.state.p), with_scale=True)
+        assert abs(a_s.s - 1.0) < 0.15, a_s.s

@@ -20,15 +20,24 @@ from vins_tpu.pipeline import VinsSystem
 CFG = VinsConfig()
 
 
-@pytest.mark.slow
-def test_full_pipeline_initializes_and_tracks():
-    n_frames = 70
-    # 30 Hz camera; w bumped so the init window sees enough parallax.
+@pytest.fixture(scope="module")
+def seq_pack():
+    """One shared 110-frame rendered sequence for every slow pipeline
+    test (same seed/trajectory; tests slice what they need — rendering
+    is the fixed cost worth paying once)."""
     seq = make_synthetic_sequence(
-        CFG, n_frames=n_frames, n_landmarks=60, seed=13,
+        CFG, n_frames=110, n_landmarks=60, seed=13,
         frame_dt=1.0 / 30.0, traj_kwargs=dict(w=0.35, bob=0.15),
         imu_per_frame=4)
     imgs = render_sequence_images(seq, CFG, seed=13)
+    return seq, imgs
+
+
+
+@pytest.mark.slow
+def test_full_pipeline_initializes_and_tracks(seq_pack):
+    n_frames = 70
+    seq, imgs = seq_pack
 
     sys_ = VinsSystem(CFG, use_loop=False, ext=seq.ext)
     outs = []
@@ -112,16 +121,12 @@ def test_drift_correct_points_unit():
 
 
 @pytest.mark.slow
-def test_failure_recovery_continuity():
+def test_failure_recovery_continuity(seq_pack):
     """Inject garbage IMU mid-sequence: the system must detect failure,
     re-initialize, and continue the trajectory from the last good pose —
     no teleport to the origin (VINS.cpp:131-212, ViewController.mm:771-781)."""
     n_frames = 110
-    seq = make_synthetic_sequence(
-        CFG, n_frames=n_frames, n_landmarks=60, seed=13,
-        frame_dt=1.0 / 30.0, traj_kwargs=dict(w=0.35, bob=0.15),
-        imu_per_frame=4)
-    imgs = render_sequence_images(seq, CFG, seed=13)
+    seq, imgs = seq_pack
 
     sys_ = VinsSystem(CFG, use_loop=False, ext=seq.ext)
     outs = []
@@ -153,16 +158,12 @@ def test_failure_recovery_continuity():
 
 
 @pytest.mark.slow
-def test_process_block_matches_interactive():
+def test_process_block_matches_interactive(seq_pack):
     """The fused streaming scan (stream.run_vio_scan via process_block)
     must produce the same-quality trajectory as the per-frame interactive
     path: same tracker, same solves, one device program per block."""
     n_frames = 70
-    seq = make_synthetic_sequence(
-        CFG, n_frames=n_frames, n_landmarks=60, seed=13,
-        frame_dt=1.0 / 30.0, traj_kwargs=dict(w=0.35, bob=0.15),
-        imu_per_frame=4)
-    imgs = render_sequence_images(seq, CFG, seed=13)
+    seq, imgs = seq_pack
 
     sys_ = VinsSystem(CFG, use_loop=False, ext=seq.ext)
     k = 0
@@ -175,10 +176,10 @@ def test_process_block_matches_interactive():
     assert sys_.initialized and k <= 45
     init_at = k - 1
 
-    block_imgs = jnp.asarray(imgs[k:])
-    block_chunks = jax.tree.map(lambda x: x[k:], seq.chunks)
+    block_imgs = jnp.asarray(imgs[k:n_frames])
+    block_chunks = jax.tree.map(lambda x: x[k:n_frames], seq.chunks)
     outs = sys_.process_block(block_imgs, block_chunks,
-                              ts=seq.timestamps[k:])
+                              ts=seq.timestamps[k:n_frames])
     assert len(outs) == n_frames - k
     assert all(o.initialized for o in outs)
     assert any(o.is_keyframe for o in outs)
@@ -187,3 +188,110 @@ def test_process_block_matches_interactive():
     gt_p = np.asarray(seq.p[k:n_frames])
     res = evaluate.ate_rmse(est_p, gt_p)
     assert res.rmse < 0.15, f"block-mode ATE {res.rmse}"
+
+
+@pytest.mark.slow
+def test_pipeline_loop_injection_refines_edge(seq_pack):
+    """The pending-loop machinery end-to-end: a staged loop constraint is
+    injected into subsequent window solves, the pose-graph edge is
+    refined from the SOLVED window (not the detection-time value), and
+    the pose graph runs when the loop frame retires (VINS.cpp:571-680,
+    ViewController.mm:850-875)."""
+    from vins_tpu.core.estimator import LoopInput
+    from vins_tpu.core.estimator import landmark_world_points
+    from vins_tpu.loop.keyframe_db import _add_row
+    from vins_tpu.utils import lie
+
+    n_frames = 110
+    seq, imgs = seq_pack
+
+    sys_ = VinsSystem(CFG, use_loop=True, ext=seq.ext)
+    k = 0
+    while k < 60 and not (sys_.initialized and (k % CFG.freq) == 0
+                          and k > 45):
+        chunk = jax.tree.map(lambda x: x[k], seq.chunks)
+        sys_.process_frame(jnp.asarray(imgs[k]), chunk,
+                           t=float(seq.timestamps[k]))
+        k += 1
+    assert sys_.initialized
+
+    F = CFG.window.num_frames
+    M = CFG.window.max_landmarks
+
+    # Stage a loop: 'old keyframe' at the loop frame's own VIO pose (the
+    # estimator's gauge, NOT seq ground truth — init re-anchors the world
+    # at its boot frame), i.e. a drift-free revisit whose refined
+    # constraint must come out ≈ identity.
+    est = sys_.est
+    old_p = np.asarray(est.window.p[F - 2])
+    old_q = np.asarray(est.window.q[F - 2])
+    pts_w = np.asarray(landmark_world_points(est.window, est.feats,
+                                             sys_.ext))
+    tid = np.asarray(est.feats.track_id)
+    valid = np.asarray(est.feats.valid) & \
+        (np.asarray(est.window.inv_depth) > 1e-3)
+    Rwb = np.asarray(lie.quat_to_rotmat(jnp.asarray(old_q)))
+    R_ic = np.asarray(lie.quat_to_rotmat(sys_.ext.qic))
+    t_ic = np.asarray(sys_.ext.tic)
+    pc = ((pts_w - old_p) @ Rwb - t_ic) @ R_ic
+    z = pc[:, 2]
+    vis = valid & (z > 0.3) & \
+        (np.abs(pc[:, :2] / np.maximum(z[:, None], 1e-6)) < 0.9).all(1)
+    obs_old = np.where(vis[:, None],
+                       pc[:, :2] / np.maximum(z[:, None], 1e-6),
+                       0.0).astype(np.float32)
+    assert vis.sum() >= 15
+
+    # Two DB rows + one sentinel-valued loop edge.
+    Nf = sys_.loop.Nf
+    zrow = dict(gdesc=jnp.zeros(1024), desc=jnp.zeros((Nf, 8), jnp.uint32),
+                kp_norm=jnp.zeros((Nf, 2)), kp_px=jnp.zeros((Nf, 2)),
+                pts_w=jnp.zeros((Nf, 3)), pts_ok=jnp.zeros(Nf, bool),
+                kp_ok=jnp.zeros(Nf, bool))
+    db = sys_.loop.db
+    db = _add_row(db, jnp.asarray(0), jnp.asarray(old_p),
+                  jnp.asarray(old_q), *zrow.values(),
+                  jnp.asarray(0, jnp.int32), jnp.full((Nf,), -1, jnp.int32))
+    db = _add_row(db, jnp.asarray(1), est.window.p[F - 2],
+                  est.window.q[F - 2], *zrow.values(),
+                  jnp.asarray(0, jnp.int32), jnp.full((Nf,), -1, jnp.int32))
+    sys_.loop.db = db
+    g = sys_.loop.graph
+    sys_.loop.graph = g._replace(
+        node_ok=g.node_ok.at[0].set(True).at[1].set(True),
+        t=g.t.at[0].set(jnp.asarray(old_p)).at[1].set(est.window.p[F - 2]),
+        loop_i=g.loop_i.at[0].set(0), loop_j=g.loop_j.at[0].set(1),
+        loop_t=g.loop_t.at[0].set(jnp.asarray([9.0, 9.0, 9.0])),
+        loop_yaw=g.loop_yaw.at[0].set(9.0),
+        loop_w=g.loop_w.at[0].set(1.0))
+    sys_.loop.n_loops = 1
+
+    sys_._pending_loop = {
+        "edge": 0, "old_idx": 0, "frame": F - 2,
+        "dev": LoopInput(obs_old=jnp.asarray(obs_old),
+                         ok=jnp.asarray(vis), ids=jnp.asarray(tid),
+                         frame=jnp.asarray(F - 2, jnp.int32),
+                         weight=jnp.asarray(1.0))}
+
+    refined_seen = False
+    while k < n_frames and sys_._pending_loop is not None:
+        chunk = jax.tree.map(lambda x: x[k], seq.chunks)
+        out = sys_.process_frame(jnp.asarray(imgs[k]), chunk,
+                                 t=float(seq.timestamps[k]))
+        assert out.initialized
+        lt = np.asarray(sys_.loop.graph.loop_t[0])
+        if not np.allclose(lt, 9.0):
+            refined_seen = True
+        k += 1
+
+    assert refined_seen, "loop edge never refined by the window solve"
+    # Drift-free staged loop: the refined relative translation must be
+    # near zero (old pose == GT of the loop frame), nowhere near the
+    # sentinel.
+    lt = np.asarray(sys_.loop.graph.loop_t[0])
+    assert np.linalg.norm(lt) < 0.3, lt
+    assert abs(float(sys_.loop.graph.loop_yaw[0])) < 0.1
+    # Retirement ran the pose graph; with a consistent loop the drift
+    # stays near identity.
+    assert sys_._pending_loop is None
+    assert np.linalg.norm(sys_.loop.t_drift) < 0.5

@@ -249,6 +249,10 @@ class VinsConfig:
     # SfM incremental-PnP acceptance: mean-squared reprojection residual
     # (normalized image plane) for a chained frame pose (inital_sfm.cpp:22).
     init_pnp_max_msr: float = 1e-3
+    # Planar-degeneracy guard: if the essential-matrix rotation differs
+    # from the gyro-preintegrated rotation by more than this, re-seed
+    # with gyro rotation + linear translation (initialization.py).
+    init_max_gyro_visual_deg: float = 8.0
 
     def replace(self, **kw) -> "VinsConfig":
         return dataclasses.replace(self, **kw)

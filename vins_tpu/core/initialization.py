@@ -414,6 +414,29 @@ def refine_init_window(window: WindowState, feats: FeatureTable,
 
 
 @jax.jit
+def _camera_relative_rotation(dq_edges: jax.Array, l: jax.Array,
+                              newest: jax.Array, ext: Extrinsics
+                              ) -> jax.Array:
+    """Gyro-preintegrated CAMERA rotation from frame l to `newest`:
+    compose the per-edge body increments dq_e over e ∈ [l, newest), then
+    conjugate by the extrinsic rotation. Convention matches recover_pose:
+    x_newest ≈ R · x_l (camera frames)."""
+    W = dq_edges.shape[0]
+
+    def step(q, e):
+        use = (e >= l) & (e < newest)
+        q2 = lie.quat_mul(q, dq_edges[e])
+        return jnp.where(use, q2, q), None
+
+    q_rel, _ = jax.lax.scan(step, lie.quat_identity(dq_edges.dtype),
+                            jnp.arange(W))
+    R_b = lie.quat_to_rotmat(q_rel)        # body l → body newest (passive)
+    R_ic = lie.quat_to_rotmat(ext.qic)
+    # x_cam_newest = R_icᵀ R_bᵀ R_ic x_cam_l.
+    return R_ic.T @ R_b.T @ R_ic
+
+
+@jax.jit
 def _imu_excitation_j(dv: jax.Array, sum_dt: jax.Array) -> jax.Array:
     """Stddev of per-edge mean specific force (delta_v / dt) over edges
     with nonzero span (the reference's aver_g/var check, VINS.cpp:839-858)."""
@@ -487,6 +510,21 @@ def initialize(feats: FeatureTable, chunks: pre_mod.ImuChunk,
         cfg.frontend.f_ransac_hyps, (1.0 / cfg.camera.focal) ** 2 * 9.0)
     R_rel, t_rel, n_good = ransac_mod.recover_pose(
         res.model, feats.obs[l], feats.obs[newest], res.inliers)
+
+    # Planar-degeneracy guard: the 8-point essential has a solution
+    # family on coplanar scenes (where the reference's 5-point does not,
+    # motion_estimator.cpp:203) and can return a confidently-wrong
+    # rotation. A VIO system carries a gyro: the preintegrated relative
+    # rotation l→newest (bias-free to first order over the short boot
+    # window) is structure-independent. If the visual rotation disagrees
+    # with it, re-seed with the gyro rotation + the linear known-rotation
+    # translation solve (planar-immune).
+    R_gyro = _camera_relative_rotation(pre0.dq, l, newest, ext)
+    ang = jnp.linalg.norm(lie.so3_log(lie.rotmat_to_quat(R_rel @ R_gyro.T)))
+    if float(ang) > np.deg2rad(cfg.init_max_gyro_visual_deg):
+        t_g, n_good_g = ransac_mod.translation_known_rotation(
+            R_gyro, feats.obs[l], feats.obs[newest], res.inliers)
+        R_rel, t_rel, n_good = R_gyro, t_g, n_good_g
     if int(n_good) < 12:
         return fail(InitStatus.FAIL_RELATIVE)
 

@@ -185,6 +185,40 @@ def recover_pose(E: jax.Array, p1: jax.Array, p2: jax.Array,
     return Rs[best], ts[best], counts[best]
 
 
+def translation_known_rotation(R: jax.Array, p1: jax.Array, p2: jax.Array,
+                               valid: jax.Array
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """Relative translation direction given a KNOWN relative rotation
+    (e.g. gyro-preintegrated): the planar-degeneracy-immune seed.
+
+    With x2 ~ R x1 + t, each correspondence gives the linear constraint
+    t · (R x̃1 × x̃2) = 0 (epipolar with known R) — valid for ANY scene
+    structure including pure planes, where the 8-point essential is
+    degenerate (the reference avoids this via Nistér 5-point,
+    motion_estimator.cpp:203; a VIO system can do better by using its
+    gyro). Solves min|C t|, |t|=1 via SVD, fixes the sign by cheirality.
+    Returns (t_unit, n_good).
+    """
+    h1 = jnp.concatenate([p1, jnp.ones_like(p1[:, :1])], axis=1)
+    h2 = jnp.concatenate([p2, jnp.ones_like(p2[:, :1])], axis=1)
+    y = h1 @ R.T                                  # R x1
+    C = jnp.cross(y, h2) * valid[:, None].astype(p1.dtype)
+    _, _, Vt = jnp.linalg.svd(C, full_matrices=False)
+    t = Vt[-1]
+    t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+
+    def count_good(tt):
+        X1 = _triangulate_pair(R, tt, p1, p2)
+        z1 = X1[:, 2]
+        z2 = (X1 @ R.T + tt)[:, 2]
+        return jnp.sum((z1 > 0) & (z2 > 0) & valid)
+
+    n_pos = count_good(t)
+    n_neg = count_good(-t)
+    flip = n_neg > n_pos
+    return jnp.where(flip, -t, t), jnp.maximum(n_pos, n_neg)
+
+
 def pnp_gn(points_w: jax.Array, obs: jax.Array, valid: jax.Array,
            p0: jax.Array, q0: jax.Array, iters: int = 10,
            ) -> Tuple[jax.Array, jax.Array, jax.Array]:
