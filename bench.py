@@ -89,7 +89,14 @@ def bench_system(cfg, n_frames=288, block=48, seed=7):
         cfg, n_frames=n_total, n_landmarks=300, seed=seed,
         frame_dt=1.0 / 30.0, traj_kwargs=dict(w=0.35, bob=0.15),
         imu_per_frame=4)
-    imgs = synthetic.render_sequence_images(seq, cfg, seed=seed)
+    # Warm the device<->host transfer path before anything depends on it
+    # (the FIRST fetch over a tunneled backend pays a long one-time
+    # handshake; untimed, but do it deterministically up front).
+    np.asarray(jax.device_put(np.zeros(8, np.float32)))
+    # Frames stay in HBM (device=True): the scan consumes them there and
+    # a [N,480,640] fetch over the tunnel costs minutes.
+    imgs = synthetic.render_sequence_images(seq, cfg, seed=seed,
+                                            device=True)
 
     sys_ = VinsSystem(cfg, use_loop=True, ext=seq.ext)
     k = 0

@@ -78,9 +78,7 @@ def make_synthetic_window(
     # Frame states.
     t_frames = t0 + frame_dt * np.arange(F)
     p_f, v_f, _, yaw_f, _ = _traj(t_frames)
-    q_f = np.asarray(lie.so3_exp_quat(
-        jnp.asarray(np.stack([np.zeros_like(yaw_f), np.zeros_like(yaw_f),
-                              yaw_f], -1), dtype=jnp.float32)))
+    q_f = lie.np_yaw_quat(yaw_f)
 
     state = WindowState(
         p=jnp.asarray(p_f, jnp.float32),
@@ -100,9 +98,7 @@ def make_synthetic_window(
     for e in range(W):
         ts = t_frames[e] + dt_imu * np.arange(N)  # includes both endpoints
         _, _, a_w, yaw, yaw_rate = _traj(ts)
-        Rwb = np.asarray(lie.quat_to_rotmat(lie.so3_exp_quat(jnp.asarray(
-            np.stack([np.zeros_like(yaw), np.zeros_like(yaw), yaw], -1),
-            dtype=jnp.float32))))
+        Rwb = lie.np_quat_to_rotmat(lie.np_yaw_quat(yaw))
         acc_b = np.einsum("nij,nj->ni", Rwb.transpose(0, 2, 1), a_w + gravity)
         gyr_b = np.stack([np.zeros_like(yaw), np.zeros_like(yaw),
                           yaw_rate], -1)
@@ -126,14 +122,14 @@ def make_synthetic_window(
     R_ic = np.array([[0.0, 0.0, 1.0],
                      [-1.0, 0.0, 0.0],
                      [0.0, -1.0, 0.0]], np.float32)
-    q_ic = np.asarray(lie.rotmat_to_quat(jnp.asarray(R_ic)))
+    q_ic = lie.np_rotmat_to_quat(R_ic)
     t_ic = np.array([0.05, 0.0, 0.02], np.float32)
     ext = Extrinsics(tic=jnp.asarray(t_ic), qic=jnp.asarray(q_ic))
 
     # Project landmarks into every frame.
     obs = np.zeros((F, M, 2), np.float32)
     mask = np.zeros((F, M), bool)
-    Rwb_f = np.asarray(lie.quat_to_rotmat(jnp.asarray(q_f)))
+    Rwb_f = lie.np_quat_to_rotmat(q_f)
     n_use = min(n_landmarks, M)
     fov_lim = 0.7  # |x/z|,|y/z| limit ~ 35deg half-FOV
     for f in range(F):
@@ -221,9 +217,7 @@ def make_synthetic_sequence(
 
     t_frames = t0 + frame_dt * np.arange(n_frames)
     p_f, v_f, _, yaw_f, _ = traj(t_frames)
-    q_f = np.asarray(lie.so3_exp_quat(jnp.asarray(
-        np.stack([np.zeros_like(yaw_f), np.zeros_like(yaw_f), yaw_f], -1),
-        dtype=jnp.float32)))
+    q_f = lie.np_yaw_quat(yaw_f)
 
     n_sub = (S - 1) if imu_per_frame is None else imu_per_frame
     assert n_sub <= S - 1
@@ -234,9 +228,7 @@ def make_synthetic_sequence(
     for k in range(1, n_frames):
         ts = t_frames[k - 1] + dt_imu * np.arange(n_sub + 1)
         _, _, a_w, yaw, yaw_rate = traj(ts)
-        Rwb = np.asarray(lie.quat_to_rotmat(lie.so3_exp_quat(jnp.asarray(
-            np.stack([np.zeros_like(yaw), np.zeros_like(yaw), yaw], -1),
-            dtype=jnp.float32))))
+        Rwb = lie.np_quat_to_rotmat(lie.np_yaw_quat(yaw))
         accs[k, :n_sub + 1] = np.einsum(
             "nij,nj->ni", Rwb.transpose(0, 2, 1), a_w + gravity)
         gyrs[k, :n_sub + 1] = np.stack(
@@ -252,11 +244,11 @@ def make_synthetic_sequence(
     R_ic = np.array([[0.0, 0.0, 1.0],
                      [-1.0, 0.0, 0.0],
                      [0.0, -1.0, 0.0]], np.float32)
-    q_ic = np.asarray(lie.rotmat_to_quat(jnp.asarray(R_ic)))
+    q_ic = lie.np_rotmat_to_quat(R_ic)
     t_ic = np.array([0.05, 0.0, 0.02], np.float32)
     ext = Extrinsics(tic=jnp.asarray(t_ic), qic=jnp.asarray(q_ic))
 
-    Rwb_f = np.asarray(lie.quat_to_rotmat(jnp.asarray(q_f)))
+    Rwb_f = lie.np_quat_to_rotmat(q_f)
     fov_lim = 0.7
     ids_out = np.full((n_frames, Mi), -1, np.int32)
     obs_out = np.zeros((n_frames, Mi, 2), np.float32)
@@ -363,7 +355,8 @@ def render_camera_frames(p_cam: np.ndarray, R_wc: np.ndarray,
                          noise_sigma: float = 0.005,
                          distorted: bool = False,
                          tex_gain: float = 1.0,
-                         tex_freq_max: float = 25.0) -> np.ndarray:
+                         tex_freq_max: float = 25.0,
+                         device: bool = False) -> np.ndarray:
     """Ray-cast [N, H, W] frames of the textured cylinder room from
     arbitrary camera poses (p_cam [N,3] centers, R_wc [N,3,3] camera→world
     rotations). tex_gain/tex_freq_max sharpen the wave texture (higher
@@ -391,7 +384,10 @@ def render_camera_frames(p_cam: np.ndarray, R_wc: np.ndarray,
         jax.random.PRNGKey(rng.integers(2 ** 31)),
         jnp.asarray([wall_radius, floor_z, ceil_z, noise_sigma],
                     jnp.float32), H, W)
-    return np.asarray(imgs)
+    # `device=True` skips the host round trip — on a tunneled TPU a
+    # [N,H,W] fetch is hundreds of MB at ~20 MB/s, and consumers like
+    # the streaming pipeline want the frames in HBM anyway.
+    return imgs if device else np.asarray(imgs)
 
 
 def render_sequence_images(seq: SyntheticSequence, cfg: VinsConfig,
@@ -399,7 +395,8 @@ def render_sequence_images(seq: SyntheticSequence, cfg: VinsConfig,
                            wall_radius: float = 8.0,
                            floor_z: float = -2.0,
                            ceil_z: float = 2.0,
-                           noise_sigma: float = 0.005) -> np.ndarray:
+                           noise_sigma: float = 0.005,
+                           device: bool = False) -> np.ndarray:
     """Render [N, H, W] float32 images by ray-casting a textured cylinder
     room (walls at `wall_radius`, floor/ceiling planes) around the
     trajectory. Every pixel's world point is exact, so parallax, optical
@@ -407,14 +404,15 @@ def render_sequence_images(seq: SyntheticSequence, cfg: VinsConfig,
     unlike sprite-based rendering. Runs fully on device
     (_render_frames_device); the wave-texture basis matches the one used
     by ground_truth_correspondence's geometry."""
-    R_ic = np.asarray(lie.quat_to_rotmat(seq.ext.qic))
+    R_ic = lie.np_quat_to_rotmat(np.asarray(seq.ext.qic))
     t_ic = np.asarray(seq.ext.tic)
-    Rwb = np.asarray(lie.quat_to_rotmat(seq.q))
+    Rwb = lie.np_quat_to_rotmat(np.asarray(seq.q))
     p_f = np.asarray(seq.p)
     R_wc = np.einsum("nij,jk->nik", Rwb, R_ic)
     p_cam = p_f + np.einsum("nij,j->ni", Rwb, t_ic)
     return render_camera_frames(p_cam, R_wc, cfg, seed, wall_radius,
-                                floor_z, ceil_z, noise_sigma)
+                                floor_z, ceil_z, noise_sigma,
+                                device=device)
 
 
 def ground_truth_correspondence(seq: SyntheticSequence, cfg: VinsConfig,
@@ -427,9 +425,9 @@ def ground_truth_correspondence(seq: SyntheticSequence, cfg: VinsConfig,
     geometry), for validating tracking. Returns [K,2] pixel coords."""
     fx, fy, cx, cy = (cfg.camera.fx, cfg.camera.fy,
                       cfg.camera.cx, cfg.camera.cy)
-    R_ic = np.asarray(lie.quat_to_rotmat(seq.ext.qic))
+    R_ic = lie.np_quat_to_rotmat(np.asarray(seq.ext.qic))
     t_ic = np.asarray(seq.ext.tic)
-    Rwb = np.asarray(lie.quat_to_rotmat(seq.q))
+    Rwb = lie.np_quat_to_rotmat(np.asarray(seq.q))
     p_f = np.asarray(seq.p)
 
     R_wc = Rwb[frame_a] @ R_ic
@@ -480,12 +478,10 @@ def make_ba_problem(n_poses: int = 16, n_landmarks: int = 512, seed: int = 0,
     R_ic = np.array([[0.0, 0.0, 1.0],
                      [-1.0, 0.0, 0.0],
                      [0.0, -1.0, 0.0]], np.float32)
-    q_f = np.asarray(lie.so3_exp_quat(jnp.asarray(
-        np.stack([np.zeros_like(yaw_f), np.zeros_like(yaw_f), yaw_f], -1),
-        dtype=jnp.float32)))
-    Rwb = np.asarray(lie.quat_to_rotmat(jnp.asarray(q_f)))
+    q_f = lie.np_yaw_quat(yaw_f)
+    Rwb = lie.np_quat_to_rotmat(q_f)
     R_wc = Rwb @ R_ic
-    q_wc = np.asarray(lie.rotmat_to_quat(jnp.asarray(R_wc)))
+    q_wc = lie.np_rotmat_to_quat(R_wc)
 
     ang = rng.uniform(0, 2 * np.pi, n_landmarks)
     rad = rng.uniform(5.0, 9.0, n_landmarks)
@@ -515,9 +511,7 @@ def make_ba_problem(n_poses: int = 16, n_landmarks: int = 512, seed: int = 0,
     p0[:2] = p_f[:2]  # gauge anchors keep ground truth
     dth = rng.normal(size=(n_poses, 3)) * pose_noise * 0.2
     dth[:2] = 0.0
-    q0 = np.asarray(lie.quat_mul(jnp.asarray(q_wc, jnp.float32),
-                                 lie.so3_exp_quat(jnp.asarray(
-                                     dth, jnp.float32))))
+    q0 = lie.np_quat_mul(q_wc, lie.np_so3_exp_quat(dth))
     x0 = lms + rng.normal(size=lms.shape) * point_noise
     init = BAState(p=jnp.asarray(p0, jnp.float32), q=jnp.asarray(q0),
                    pts=jnp.asarray(x0, jnp.float32))

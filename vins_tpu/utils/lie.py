@@ -274,3 +274,92 @@ def quat_boxminus(q1: jax.Array, q2: jax.Array) -> jax.Array:
     dq = quat_mul(quat_conj(q2), q1)
     dq = jnp.where(dq[..., :1] < 0, -dq, dq)
     return 2.0 * dq[..., 1:]
+
+
+# ---------------------------------------------------------------------------
+# Numpy twins — host-side scaffolding (dataset/fixture generation, boot
+# bookkeeping). Over a tunneled TPU backend every eager jax op is a
+# ~30 ms device round trip and every NEW eager program a multi-second
+# remote compile, so host-side generators must never touch jax for
+# small math. Same conventions as above (wxyz quaternions).
+# ---------------------------------------------------------------------------
+import numpy as _np
+
+
+def np_yaw_quat(yaw) -> _np.ndarray:
+    """wxyz quaternion(s) for pure-yaw rotation (vectorized numpy)."""
+    half = 0.5 * _np.asarray(yaw, _np.float64)
+    z = _np.zeros_like(half)
+    return _np.stack([_np.cos(half), z, z, _np.sin(half)],
+                     -1).astype(_np.float32)
+
+
+def np_quat_to_rotmat(q) -> _np.ndarray:
+    """Quaternion (wxyz) -> rotation matrix, batched (numpy twin of
+    quat_to_rotmat)."""
+    q = _np.asarray(q, _np.float64)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    ww, xx, yy, zz = w * w, x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    r = _np.stack([
+        ww + xx - yy - zz, 2 * (xy - wz), 2 * (xz + wy),
+        2 * (xy + wz), ww - xx + yy - zz, 2 * (yz - wx),
+        2 * (xz - wy), 2 * (yz + wx), ww - xx - yy + zz,
+    ], -1)
+    return r.reshape(q.shape[:-1] + (3, 3)).astype(_np.float32)
+
+
+def np_rotmat_to_quat(R) -> _np.ndarray:
+    """Rotation matrix -> wxyz quaternion, batched (numpy twin of
+    rotmat_to_quat; same Shepperd-style candidate selection)."""
+    R = _np.asarray(R, _np.float64)
+    m = R.reshape(R.shape[:-2] + (9,))
+    m00, m01, m02, m10, m11, m12, m20, m21, m22 = (
+        m[..., 0], m[..., 1], m[..., 2], m[..., 3], m[..., 4],
+        m[..., 5], m[..., 6], m[..., 7], m[..., 8])
+    tr = m00 + m11 + m22
+    qw = _np.stack([1.0 + tr, m21 - m12, m02 - m20, m10 - m01], -1)
+    qx = _np.stack([m21 - m12, 1.0 + m00 - m11 - m22, m01 + m10,
+                    m02 + m20], -1)
+    qy = _np.stack([m02 - m20, m01 + m10, 1.0 - m00 + m11 - m22,
+                    m12 + m21], -1)
+    qz = _np.stack([m10 - m01, m02 + m20, m12 + m21,
+                    1.0 - m00 - m11 + m22], -1)
+    scores = _np.stack([1.0 + tr, 1.0 + m00 - m11 - m22,
+                        1.0 - m00 + m11 - m22, 1.0 - m00 - m11 + m22], -1)
+    best = _np.argmax(scores, -1)
+    cands = _np.stack([qw, qx, qy, qz], -2)  # [..., 4 cand, 4]
+    q = _np.take_along_axis(cands, best[..., None, None].repeat(4, -1),
+                            -2)[..., 0, :]
+    q = _np.where(q[..., :1] < 0, -q, q)
+    return (q / _np.linalg.norm(q, axis=-1, keepdims=True)).astype(
+        _np.float32)
+
+
+def np_quat_mul(a, b) -> _np.ndarray:
+    """Hamilton product (wxyz), batched numpy twin of quat_mul."""
+    a = _np.asarray(a, _np.float64)
+    b = _np.asarray(b, _np.float64)
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return _np.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], -1).astype(_np.float32)
+
+
+def np_so3_exp_quat(theta) -> _np.ndarray:
+    """Rotation vector -> wxyz quaternion, numpy twin of so3_exp_quat."""
+    theta = _np.asarray(theta, _np.float64)
+    angle_sq = _np.sum(theta * theta, -1, keepdims=True)
+    angle = _np.sqrt(angle_sq + 1e-24)
+    half = 0.5 * angle
+    small = angle_sq < 1e-12
+    k = _np.where(small, 0.5 - angle_sq / 48.0, _np.sin(half) / angle)
+    w = _np.where(small, 1.0 - angle_sq / 8.0, _np.cos(half))
+    q = _np.concatenate([w, k * theta], -1)
+    return (q / _np.linalg.norm(q, axis=-1, keepdims=True)).astype(
+        _np.float32)
