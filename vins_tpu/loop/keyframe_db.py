@@ -78,6 +78,11 @@ class KeyframeDB(NamedTuple):
             tid=jnp.full((K, Nf), -1, jnp.int32))
 
 
+# Fixed width for batched detection queries (detect_many pads to a
+# multiple of this so the scoring program has a bounded shape set).
+_DETECT_PAD = 8
+
+
 class LoopHit(NamedTuple):
     old_idx: int            # matched keyframe slot
     cur_idx: int            # query keyframe slot
@@ -128,11 +133,6 @@ def extract_keyframe_features(img: jax.Array, cfg: VinsConfig,
 
 
 @jax.jit
-def _db_scores(gdesc_db: jax.Array, g_query: jax.Array) -> jax.Array:
-    return gdesc_db @ g_query
-
-
-@jax.jit
 def _add_row(db: KeyframeDB, idx, p, q, gdesc, desc, kp_norm, kp_px,
              pts_w, pts_ok, kp_ok, segment, tid):
     return db._replace(
@@ -149,6 +149,47 @@ def _add_row(db: KeyframeDB, idx, p, q, gdesc, desc, kp_norm, kp_px,
         kp_ok=db.kp_ok.at[idx].set(kp_ok),
         segment=db.segment.at[idx].set(segment),
         tid=db.tid.at[idx].set(tid))
+
+
+def _insert_impl(db: KeyframeDB, graph: PoseGraph, bow: jax.Array,
+                 img, p, q, w_px, w_ok, w_w, w_wok, w_ids, idx,
+                 r_drift, t_drift, segment, cfg: VinsConfig, Nf: int,
+                 vocab):
+    """Whole keyframe insertion as ONE traced program: feature
+    extraction, descriptors, drift compose, DB row write, pose-graph
+    node mirror, and (when a vocabulary exists) the BoW row.
+
+    Host-side insertion used to run these as ~70 eager ops; over a
+    tunneled TPU each eager call costs a device round trip, putting
+    seconds of latency on the streaming critical path. Fused, insertion
+    is one async dispatch."""
+    pts_px, kp_ok, desc = extract_keyframe_features(img, cfg, Nf, w_px,
+                                                    w_ok)
+    kp_norm = cam_mod.pixel_to_normalized(cfg.camera, pts_px)
+    gdesc = brief_mod.global_descriptor(desc, kp_ok, pts_px, img.shape)
+    Mw = w_px.shape[0]
+    pts_w = jnp.zeros((Nf, 3), jnp.float32).at[:Mw].set(w_w)
+    pts_ok = jnp.zeros((Nf,), bool).at[:Mw].set(w_wok & w_ok)
+    tid = jnp.full((Nf,), -1, jnp.int32).at[:Mw].set(
+        jnp.where(w_ok, w_ids, -1))
+
+    # Drift-compose the pose on insertion (keyfame_database.cpp:21-42).
+    p_corr = r_drift @ p + t_drift
+    q_corr = lie.rotmat_to_quat(r_drift @ lie.quat_to_rotmat(q))
+
+    db = _add_row(db, idx, p_corr, q_corr, gdesc, desc, kp_norm, pts_px,
+                  pts_w, pts_ok, kp_ok, segment, tid)
+    ypr = lie.rotmat_to_ypr(lie.quat_to_rotmat(q_corr))
+    graph = graph._replace(
+        t=graph.t.at[idx].set(p_corr),
+        yaw=graph.yaw.at[idx].set(ypr[0]),
+        pitch=graph.pitch.at[idx].set(ypr[1]),
+        roll=graph.roll.at[idx].set(ypr[2]),
+        node_ok=graph.node_ok.at[idx].set(True))
+    if vocab is not None:
+        _, row = vocab_mod.transform(vocab, desc, kp_ok)
+        bow = bow.at[idx].set(row)
+    return db, graph, bow
 
 
 @functools.partial(jax.jit, static_argnames=("max_dist", "ratio", "hyps"))
@@ -237,6 +278,74 @@ class LoopCloser:
         self.vocab = vocab
         self.bow = jnp.zeros((K, lp.vocab_k ** lp.vocab_levels),
                              jnp.float32)
+        # Host mirrors: every synchronous device fetch on the insert path
+        # is a tunnel round trip, so the count, segments, and drift live
+        # on the host (device copies of the drift feed the insert jit).
+        self.count = 0
+        self._segments_np = np.zeros(K, np.int32)
+        self._r_drift_dev = jnp.eye(3, dtype=jnp.float32)
+        self._t_drift_dev = jnp.zeros(3, jnp.float32)
+
+        cfg_, Nf_ = cfg, self.Nf
+        self._ins_plain = jax.jit(
+            lambda db, graph, bow, *a: _insert_impl(
+                db, graph, bow, *a, cfg=cfg_, Nf=Nf_, vocab=None))
+        self._ins_vocab = jax.jit(
+            lambda db, graph, bow, vocab, *a: _insert_impl(
+                db, graph, bow, *a, cfg=cfg_, Nf=Nf_, vocab=vocab))
+        self._scores_batch = jax.jit(
+            lambda bow_db, rows: jax.vmap(
+                lambda r: vocab_mod.score_database(bow_db, r))(rows))
+        self._gdesc_scores_batch = jax.jit(
+            lambda gdesc_db, rows: rows @ gdesc_db.T)
+        self._opt_graph = jax.jit(functools.partial(
+            optimize_pose_graph, iters=lp.pose_graph_iters,
+            n_back=lp.sequential_edges))
+        self._drift_jit = jax.jit(drift_from_solution)
+
+    def warm(self) -> None:
+        """Pre-compile every steady-state loop program (insert, batched
+        scoring, geometric verify, relative-pose PnP, pose graph) via AOT
+        lowering on shape structs — nothing executes, but each program
+        lands in the persistent compilation cache so no remote compile
+        fires mid-stream on the first keyframe/hit (over a tunneled chip
+        a fresh compile is tens of seconds on the critical path)."""
+        cfg = self.cfg
+        lp = cfg.loop
+        H, W = cfg.camera.height, cfg.camera.width
+        Mw = cfg.frontend.max_features
+        sds = jax.ShapeDtypeStruct
+        st = lambda tree: jax.tree.map(
+            lambda x: sds(jnp.shape(x), x.dtype), tree)
+        f32, i32 = jnp.float32, jnp.int32
+        args = (sds((H, W), f32), sds((3,), f32), sds((4,), f32),
+                sds((Mw, 2), f32), sds((Mw,), jnp.bool_),
+                sds((Mw, 3), f32), sds((Mw,), jnp.bool_),
+                sds((Mw,), i32), sds((), i32), sds((3, 3), f32),
+                sds((3,), f32), sds((), i32))
+        db_s, g_s, bow_s = st(self.db), st(self.graph), st(self.bow)
+        self._ins_plain.lower(db_s, g_s, bow_s, *args).compile()
+        if self.vocab is not None:
+            self._ins_vocab.lower(db_s, g_s, bow_s, st(self.vocab),
+                                  *args).compile()
+        for Q in (1, _DETECT_PAD):
+            self._scores_batch.lower(
+                bow_s, sds((Q, self.bow.shape[1]), f32)).compile()
+            self._gdesc_scores_batch.lower(
+                st(self.db.gdesc),
+                sds((Q, self.db.gdesc.shape[1]), f32)).compile()
+        key_s = st(self.key)
+        idx_s = sds((), i32)
+        _geometric_verify.lower(
+            db_s, idx_s, idx_s, key_s, max_dist=lp.match_max_dist,
+            ratio=lp.match_ratio, hyps=lp.geo_ransac_hyps,
+            thresh_sq=sds((), f32)).compile()
+        _loop_relative_pose.lower(
+            db_s, idx_s, idx_s, sds((self.Nf,), i32),
+            sds((self.Nf,), jnp.bool_), st(self.tic), st(self.qic),
+            sds((), f32)).compile()
+        self._opt_graph.lower(g_s, idx_s).compile()
+        self._drift_jit.lower(g_s, g_s, idx_s).compile()
 
     # -- vocabulary --------------------------------------------------------
 
@@ -250,7 +359,7 @@ class LoopCloser:
         """Auto-train the vocabulary once enough keyframes accumulated,
         then retro-fill BoW rows for every stored keyframe."""
         lp = self.cfg.loop
-        n = int(self.db.count)
+        n = self.count
         if (self.vocab is not None or lp.place_recognition != "bow"
                 or n < lp.vocab_train_after):
             return
@@ -275,71 +384,80 @@ class LoopCloser:
         window_ids: [Mw] global track ids of the window rows (enables
         cross-keyframe landmark association for global BA).
         """
-        idx = int(self.db.count)
+        idx = self.count
         K = self.db.p.shape[0]
         if idx >= K:
             self.resample()
-            idx = int(self.db.count)
+            idx = self.count
 
         Mw = window_pts_px.shape[0]
-        pts_px, kp_ok, desc = extract_keyframe_features(
-            img, self.cfg, self.Nf, window_pts_px, window_pts_ok)
-        kp_norm = cam_mod.pixel_to_normalized(self.cfg.camera, pts_px)
-        gdesc = brief_mod.global_descriptor(desc, kp_ok, pts_px, img.shape)
-
-        pts_w = jnp.zeros((self.Nf, 3), jnp.float32).at[:Mw].set(window_pts_w)
-        pts_ok = jnp.zeros((self.Nf,), bool).at[:Mw].set(
-            window_pts_w_ok & window_pts_ok)
-        tid = jnp.full((self.Nf,), -1, jnp.int32)
-        if window_ids is not None:
-            tid = tid.at[:Mw].set(jnp.where(window_pts_ok,
-                                            jnp.asarray(window_ids), -1))
-
-        # Drift-compose the pose on insertion (keyfame_database.cpp:21-42).
-        p_corr = jnp.asarray(self.r_drift) @ p + jnp.asarray(self.t_drift)
-        q_corr = lie.rotmat_to_quat(
-            jnp.asarray(self.r_drift) @ lie.quat_to_rotmat(q))
-
-        self.db = _add_row(self.db, jnp.asarray(idx), p_corr, q_corr, gdesc,
-                           desc, kp_norm, pts_px, pts_w, pts_ok, kp_ok,
-                           jnp.asarray(self.segment, jnp.int32), tid)
+        if window_ids is None:
+            window_ids = jnp.full((Mw,), -1, jnp.int32)
+        args = (jnp.asarray(img, jnp.float32), p, q, window_pts_px,
+                window_pts_ok, window_pts_w, window_pts_w_ok,
+                jnp.asarray(window_ids, jnp.int32),
+                jnp.asarray(idx, jnp.int32), self._r_drift_dev,
+                self._t_drift_dev, jnp.asarray(self.segment, jnp.int32))
         if self.vocab is not None:
-            self._bow_row(idx)
+            self.db, self.graph, self.bow = self._ins_vocab(
+                self.db, self.graph, self.bow, self.vocab, *args)
         else:
+            self.db, self.graph, self.bow = self._ins_plain(
+                self.db, self.graph, self.bow, *args)
+        self._segments_np[idx] = self.segment
+        self.count = max(self.count, idx + 1)
+        if self.vocab is None:
             self._maybe_train_vocab()
-        # Mirror into the pose graph nodes.
-        ypr = lie.rotmat_to_ypr(lie.quat_to_rotmat(q_corr))
-        self.graph = self.graph._replace(
-            t=self.graph.t.at[idx].set(p_corr),
-            yaw=self.graph.yaw.at[idx].set(ypr[0]),
-            pitch=self.graph.pitch.at[idx].set(ypr[1]),
-            roll=self.graph.roll.at[idx].set(ypr[2]),
-            node_ok=self.graph.node_ok.at[idx].set(True))
         return idx
 
     # -- detection ---------------------------------------------------------
 
-    def _place_scores(self, cur_idx: int) -> Tuple[np.ndarray, float]:
-        """Similarity of keyframe cur_idx to every DB row + the
-        normalizing score vs the previous keyframe (demoDetector's
-        ns_factor). Uses the BoW vocabulary scorer when available, the
-        grid global descriptor otherwise."""
+    def _place_scores_many(self, idxs) -> Tuple[np.ndarray, float]:
+        """Similarity of each query keyframe in `idxs` to every DB row,
+        as one device program + ONE host fetch ([Q, K]), plus the score
+        floor. Uses the BoW vocabulary scorer when available, the grid
+        global descriptor otherwise. Exact w.r.t. per-query scoring:
+        row contents are insertion-order independent and candidates
+        newer than a query are excluded by the dislocal window anyway."""
         lp = self.cfg.loop
+        rows = jnp.asarray(np.asarray(idxs, np.int32))
         if lp.place_recognition == "bow" and self.vocab is not None:
-            scores = np.array(vocab_mod.score_database(
-                self.bow, self.bow[cur_idx]))
+            scores = np.asarray(self._scores_batch(self.bow,
+                                                   self.bow[rows]))
             floor = lp.min_similarity_bow
         else:
-            scores = np.array(_db_scores(self.db.gdesc,
-                                         self.db.gdesc[cur_idx]))
+            scores = np.asarray(self._gdesc_scores_batch(
+                self.db.gdesc, self.db.gdesc[rows]))
             floor = lp.min_similarity
-        ns = float(scores[cur_idx - 1]) if cur_idx >= 1 else 1.0
-        return scores, max(lp.similarity_alpha * ns, floor)
+        return scores, floor
 
     def detect(self, cur_idx: int) -> Optional[LoopHit]:
         """Query keyframe cur_idx against all older keyframes."""
+        return self.detect_many([cur_idx])[0]
+
+    def detect_many(self, idxs) -> list:
+        """Detect loops for several just-inserted keyframes with one
+        batched scoring fetch (the per-query host logic — gating,
+        islands, temporal consistency — runs sequentially, identical to
+        calling detect() per keyframe). Returns a LoopHit-or-None per
+        query index."""
+        if len(idxs) == 0:
+            return []
+        # Pad the query batch to a fixed width so the scoring program
+        # compiles for at most two shapes (1 and _DETECT_PAD) instead of
+        # one per distinct batch size (remote compiles are expensive).
+        Q = len(idxs)
+        pad = Q if Q <= 1 else _DETECT_PAD * ((Q + _DETECT_PAD - 1)
+                                              // _DETECT_PAD)
+        padded = list(idxs) + [idxs[0]] * (pad - Q)
+        scores_all, floor = self._place_scores_many(padded)
+        return [self._gate_and_verify(int(cur), scores_all[i].copy(), floor)
+                for i, cur in enumerate(idxs)]
+
+    def _gate_and_verify(self, cur_idx: int, scores: np.ndarray,
+                         floor: float) -> Optional[LoopHit]:
         lp = self.cfg.loop
-        n = int(self.db.count)
+        n = self.count
         if cur_idx < 1 or n <= lp.dislocal:
             self.last_match = None
             return None
@@ -348,10 +466,11 @@ class LoopCloser:
         # alpha) with an absolute floor: grid cosine scores are signed
         # and BoW scores of unrelated views are near 0, so a small ns
         # must not make the gate vacuous.
-        scores, gate = self._place_scores(cur_idx)
+        ns = float(scores[cur_idx - 1]) if cur_idx >= 1 else 1.0
+        gate = max(lp.similarity_alpha * ns, floor)
         scores[max(0, cur_idx - lp.dislocal):] = -1.0  # dislocal + self/future
         # Different segments can't loop (failure resets trajectory frame).
-        seg = np.asarray(self.db.segment)
+        seg = self._segments_np
         scores[seg != seg[cur_idx]] = -1.0
 
         # Island grouping (TemplatedLoopDetector.h:890+): adjacent
@@ -439,19 +558,18 @@ class LoopCloser:
             return self.r_drift, self.t_drift
         first = int(jnp.min(self.graph.loop_i[:self.n_loops]))
         g_before = self.graph
-        g_after, cost = optimize_pose_graph(
-            self.graph, jnp.asarray(first),
-            iters=self.cfg.loop.pose_graph_iters,
-            n_back=self.cfg.loop.sequential_edges)
-        latest = int(self.db.count) - 1
-        R_d, t_d = drift_from_solution(g_before, g_after,
-                                       jnp.asarray(latest))
+        g_after, cost = self._opt_graph(self.graph,
+                                        jnp.asarray(first, jnp.int32))
+        latest = self.count - 1
+        R_d, t_d = self._drift_jit(g_before, g_after,
+                                   jnp.asarray(latest, jnp.int32))
         self.graph = g_after
         # Write optimized poses back into the database.
         q_new = jax.vmap(lambda y, pi, r: lie.rotmat_to_quat(
             lie.ypr_to_rotmat(jnp.stack([y, pi, r]))))(
                 g_after.yaw, g_after.pitch, g_after.roll)
         self.db = self.db._replace(p=g_after.t, q=q_new)
+        self._r_drift_dev, self._t_drift_dev = R_d, t_d
         self.r_drift = np.asarray(R_d)
         self.t_drift = np.asarray(t_d)
         return self.r_drift, self.t_drift
@@ -506,6 +624,9 @@ class LoopCloser:
         drop keyframes spatially closest to their predecessor, protecting
         loop-edge endpoints and the most recent `dislocal` frames, then
         compact every array and remap loop-edge indices."""
+        # The device count is authoritative here (tests and tools may
+        # seed rows via _add_row directly); resample is rare, so the
+        # fetch is fine, and it re-syncs the host mirror on exit.
         n = int(self.db.count)
         K = self.db.p.shape[0]
         p = np.asarray(self.db.p[:n])
@@ -573,3 +694,7 @@ class LoopCloser:
         if self.last_match is not None:
             nm = remap[self.last_match] if self.last_match < n else -1
             self.last_match = int(nm) if nm >= 0 else None
+        self.count = m
+        seg_old = self._segments_np
+        self._segments_np = np.zeros(K, np.int32)
+        self._segments_np[:m] = seg_old[old_idx]

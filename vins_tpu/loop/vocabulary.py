@@ -113,9 +113,41 @@ def _bit_majority(desc: jax.Array, assign: jax.Array, k: int) -> jax.Array:
     return packed
 
 
+# Training runs ENTIRELY on the host: the tree recursion produces ~100
+# descriptor subsets of ~100 distinct sizes, so doing the clustering with
+# device calls means ~30 blocking round trips per node and a fresh XLA
+# program per subset size — minutes-to-hours over a tunneled chip for
+# milliseconds of actual math. Numpy twins of _hamming/_assign/
+# _bit_majority below; the device versions above serve transform/scoring.
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], np.uint16)
+
+
+def _np_bytes(desc: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(desc, np.uint32).view(np.uint8).reshape(
+        desc.shape[0], 32)
+
+
+def _np_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[N, 8] x [M, 8] packed uint32 → [N, M] int32 Hamming distances."""
+    x = _np_bytes(a)[:, None, :] ^ _np_bytes(b)[None, :, :]
+    return _POPCNT[x].sum(-1).astype(np.int32)
+
+
+def _np_bit_majority(desc: np.ndarray, assign: np.ndarray,
+                     k: int) -> np.ndarray:
+    """Per-cluster bit-majority centroids, numpy twin of _bit_majority."""
+    bits = np.unpackbits(_np_bytes(desc), axis=1, bitorder="little")
+    counts = np.zeros((k, 256), np.int64)
+    np.add.at(counts, assign, bits)
+    total = np.bincount(assign, minlength=k)
+    maj = (counts * 2 > total[:, None]).astype(np.uint8)
+    return np.packbits(maj, axis=1, bitorder="little").view(
+        np.uint32).reshape(k, 8)
+
+
 def _kmedians(desc: np.ndarray, k: int, rng: np.random.Generator,
               iters: int = 8) -> Tuple[np.ndarray, np.ndarray]:
-    """One k-medians run over a descriptor subset.
+    """One k-medians run over a descriptor subset (pure numpy).
 
     Returns (centers [k, 8] uint32, assign [N]). Empty clusters are
     reseeded from the farthest points once, then tolerated.
@@ -127,31 +159,30 @@ def _kmedians(desc: np.ndarray, k: int, rng: np.random.Generator,
     centers = np.zeros((k, 8), np.uint32)
     centers[0] = desc[rng.integers(n)]
     d_min = None
-    dj = jnp.asarray(desc)
     for i in range(1, k):
-        d = np.asarray(_hamming(dj, jnp.asarray(centers[i - 1:i])))[:, 0]
+        d = _np_hamming(desc, centers[i - 1:i])[:, 0]
         d_min = d if d_min is None else np.minimum(d_min, d)
         centers[i] = desc[int(np.argmax(d_min))]
 
     assign = np.zeros(n, np.int32)
     for _ in range(iters):
-        assign = np.asarray(_assign(dj, jnp.asarray(centers)))
-        new = np.array(_bit_majority(dj, jnp.asarray(assign), k))
+        assign = np.argmin(_np_hamming(desc, centers), axis=1).astype(
+            np.int32)
+        new = _np_bit_majority(desc, assign, k)
         # Reseed empty clusters from the worst-served descriptors.
         counts = np.bincount(assign, minlength=k)
         empty = np.where(counts == 0)[0]
         if len(empty):
             # Reseed as many empty clusters as there are descriptors to
             # donate; surplus empties (n < k) stay as harmless duplicates.
-            d_best = np.asarray(_hamming(dj, jnp.asarray(new)))[
-                np.arange(n), assign]
+            d_best = _np_hamming(desc, new)[np.arange(n), assign]
             m = min(len(empty), n)
             far = np.argsort(-d_best)[:m]
             new[empty[:m]] = desc[far]
         if np.array_equal(new, centers):
             break
         centers = new
-    assign = np.asarray(_assign(dj, jnp.asarray(centers)))
+    assign = np.argmin(_np_hamming(desc, centers), axis=1).astype(np.int32)
     return centers, assign
 
 

@@ -605,48 +605,54 @@ class VinsSystem:
         """Phase 2: fetch a dispatched block's outputs, run host-side
         loop closure for its keyframes, drift-correct, and publish."""
         outs, imgs, n = handle
-        outs_h = jax.device_get(outs)
+        # Fetch ONLY the small per-frame leaves host decisions need
+        # (~20 KB); the keyframe-harvest leaves (pts/descriptor inputs)
+        # stay on device and feed the fused insert program directly —
+        # over a tunneled chip, device_get of the full pytree was the
+        # single largest host cost per block.
+        p_h, q_h, is_kf_h, fail_h, cost_h, ntr_h = jax.device_get(
+            (outs.p, outs.q, outs.is_keyframe, outs.failure,
+             outs.solver_cost, outs.n_tracked))
 
         # Failure inside the block: the scan freezes the estimator; the
         # host re-enters INITIAL from the failure point.
-        fail_idx = np.flatnonzero(outs_h.failure)
+        fail_idx = np.flatnonzero(fail_h)
         n_ok = int(fail_idx[0]) + 1 if len(fail_idx) else n
 
-        # Host loop-closure for flagged keyframes (detection-time
-        # constraints; optimize on hit).
+        # Host loop-closure for flagged keyframes: inserts are async
+        # device dispatches; detection is ONE batched scoring fetch for
+        # the whole block (detection-time constraints; optimize on hit).
+        inserted = []
         for k in range(n_ok):
-            if not (self.use_loop and bool(outs_h.is_keyframe[k])):
+            if not (self.use_loop and bool(is_kf_h[k])):
                 continue
             self.kf_count += 1
             if self.kf_count % self.cfg.loop.loop_freq != 0:
                 continue
-            idx = self.loop.add_keyframe(
-                jnp.asarray(imgs[k], jnp.float32),
-                jnp.asarray(outs_h.p[k]), jnp.asarray(outs_h.q[k]),
-                jnp.asarray(outs_h.kf_pts_px[k]),
-                jnp.asarray(outs_h.kf_valid[k]),
-                jnp.asarray(outs_h.kf_pts_w[k]),
-                jnp.asarray(outs_h.kf_w_ok[k]),
-                window_ids=jnp.asarray(outs_h.kf_ids[k]))
-            if self.loop.detect(idx) is not None:
+            inserted.append(self.loop.add_keyframe(
+                imgs[k], outs.p[k], outs.q[k], outs.kf_pts_px[k],
+                outs.kf_valid[k], outs.kf_pts_w[k], outs.kf_w_ok[k],
+                window_ids=outs.kf_ids[k]))
+        if inserted:
+            hits = self.loop.detect_many(inserted)
+            if any(h is not None for h in hits):
                 self.loop.optimize()
 
         results = []
         for k in range(n_ok):
-            p_raw = np.asarray(outs_h.p[k])
-            q_raw = np.asarray(outs_h.q[k])
+            p_raw = p_h[k]
+            q_raw = q_h[k]
             p, q = self._drift_correct(p_raw, q_raw)
             t = float(ts[k]) if ts is not None else 0.0
             results.append(PipelineOutput(
                 t=t, p=p, q=q, p_raw=p_raw,
-                is_keyframe=bool(outs_h.is_keyframe[k]), initialized=True,
-                n_tracked=int(outs_h.n_tracked[k]),
-                solver_cost=float(outs_h.solver_cost[k]), loop_hit=None))
+                is_keyframe=bool(is_kf_h[k]), initialized=True,
+                n_tracked=int(ntr_h[k]),
+                solver_cost=float(cost_h[k]), loop_hit=None))
             self.trajectory.append(p)
         if len(fail_idx):
             k = max(n_ok - 2, 0)
-            self._last_good = (np.asarray(outs_h.p[k]),
-                               _np_yaw(np.asarray(outs_h.q[k])))
+            self._last_good = (p_h[k], _np_yaw(q_h[k]))
             self._fail_reset()
             results.append(PipelineOutput(
                 t=0.0, p=np.zeros(3, np.float32),
