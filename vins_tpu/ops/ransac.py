@@ -52,13 +52,18 @@ def _eight_point(p1: jax.Array, p2: jax.Array) -> jax.Array:
     p1, p2: [8, 2]. Returns [3,3] WITHOUT rank-2 enforcement — Sampson
     scoring does not need it, so RANSAC projects only the winning
     hypothesis (batched 3x3 SVD measured 50x slower than the [8,9]
-    null-vector SVD on TPU)."""
+    null-vector SVD on TPU).
+
+    The null vector comes from a complete QR of Aᵀ: the last column of Q
+    is orthogonal to every row of A — exactly null(A) for an 8x9 system.
+    Batched QR is 8 vectorized Householder steps; the batched [8,9] SVD
+    it replaces was ~3 ms/frame of QR-algorithm iteration on TPU."""
     x1, y1 = p1[:, 0], p1[:, 1]
     x2, y2 = p2[:, 0], p2[:, 1]
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1,
                    jnp.ones_like(x1)], axis=-1)        # [8, 9]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    return Vt[-1].reshape(3, 3)
+    Q, _ = jnp.linalg.qr(A.T, mode="complete")          # [9, 9]
+    return Q[:, -1].reshape(3, 3)
 
 
 def _sampson_dist(F: jax.Array, p1: jax.Array, p2: jax.Array) -> jax.Array:
