@@ -166,12 +166,12 @@ def track_pyramid_fb(pyr_prev: List[jax.Array], pyr_next: List[jax.Array],
     # Backward pass seeded with the negated forward flow: the test is
     # whether the *local* refinement holds up in reverse, not whether the
     # coarse pyramid re-finds the basin (self-similar scenes would alias).
-    # Because the seed is already within a pixel of the answer, level 0
-    # with a short iteration budget is sufficient — the full-pyramid
-    # backward pass doubled KLT cost for no extra discrimination.
-    cfg_bwd = dataclasses.replace(cfg, klt_iters=min(cfg.klt_iters, 5))
-    bwd = track_pyramid([pyr_next[0]], [pyr_prev[0]], fwd.pts, fwd.status,
-                        cfg_bwd, init_flow=pts_prev - fwd.pts)
+    # NOTE: a level-0-only backward pass was tried for speed (halves KLT
+    # cost) but shifts the fb accept set just enough to destabilize
+    # initialization on low-excitation sequences — keep full-pyramid
+    # symmetry; the per-feature early-exit already bounds iteration cost.
+    bwd = track_pyramid(pyr_next, pyr_prev, fwd.pts, fwd.status, cfg,
+                        init_flow=pts_prev - fwd.pts)
     rt = jnp.linalg.norm(bwd.pts - pts_prev, axis=-1)
     # Zero-mean NCC of template vs matched patch: contrast-invariant
     # mismatch detector (catches symmetric false locks FB can miss).
