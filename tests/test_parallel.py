@@ -56,6 +56,36 @@ def test_dist_ba_converges_to_ground_truth():
     assert float(cost) < 1e-6
 
 
+def test_ba_pose_prior_anchors_metric_scale():
+    """Mono BA's scale is observable only through the anchors: corrupt
+    the frozen pose-0/1 baseline by 15% and the whole refined map
+    re-scales with it. The pose-position prior (harvest sets it at the
+    VIO estimates — IMU-metric on average) must pin the scale against
+    all poses instead of the one short baseline."""
+    import jax.numpy as jnp
+
+    gt, init, prob = synthetic.make_ba_problem(
+        n_poses=12, n_landmarks=128, seed=3, noise_px=0.3,
+        pose_noise=0.02, point_noise=0.1)
+    p = np.array(init.p)
+    p[1] = p[0] + 1.15 * (np.asarray(gt.p[1]) - np.asarray(gt.p[0]))
+    init = init._replace(p=jnp.asarray(p))
+
+    st_no, _, _ = jax.jit(lambda s, pr: solve_ba(s, pr, iters=12))(
+        init, prob)
+    prob_pr = prob._replace(prior_p=init.p,
+                            prior_w=jnp.asarray(0.1, jnp.float32))
+    st_pr, _, _ = jax.jit(lambda s, pr: solve_ba(s, pr, iters=12))(
+        init, prob_pr)
+
+    def ate(st):
+        return float(jnp.sqrt(jnp.mean(jnp.sum((st.p - gt.p) ** 2, -1))))
+
+    e_no, e_pr = ate(st_no), ate(st_pr)
+    assert e_pr < e_no * 0.7, (e_pr, e_no)
+    assert e_pr < 0.08, e_pr
+
+
 def test_batched_backend_step_runs_sharded():
     """B=8 independent windows, one per device, single jitted step."""
     cfg = tiny_config()

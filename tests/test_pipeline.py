@@ -24,13 +24,13 @@ CFG = VinsConfig()
 def seq_pack():
     """One shared 110-frame rendered sequence for every slow pipeline
     test (same seed/trajectory; tests slice what they need — rendering
-    is the fixed cost worth paying once)."""
-    seq = make_synthetic_sequence(
-        CFG, n_frames=110, n_landmarks=60, seed=13,
-        frame_dt=1.0 / 30.0, traj_kwargs=dict(w=0.35, bob=0.15),
-        imu_per_frame=4)
-    imgs = render_sequence_images(seq, CFG, seed=13)
-    return seq, imgs
+    is cached ON DISK across test files and sessions, conftest
+    render_cached)."""
+    from conftest import render_cached
+
+    return render_cached(CFG, n_frames=110, seed=13, frame_dt=1.0 / 30.0,
+                         traj_kwargs=dict(w=0.35, bob=0.15),
+                         imu_per_frame=4)
 
 
 

@@ -1,0 +1,78 @@
+"""Train and ship the pre-built BoW vocabulary asset (VERDICT r2 item 3).
+
+The reference ships `brief_k10L6.bin` — a vocabulary trained OFFLINE on a
+large generic corpus — and loads it at startup (ViewController.mm:892-900,
+TemplatedVocabulary.h:1505-1558). This tool is the offline trainer: it
+renders a held-out corpus of synthetic scenes (seeds/textures disjoint
+from every test and bench sequence), extracts FAST+BRIEF descriptors per
+frame, trains the hierarchical k-medians tree, and saves the npz asset
+that `vins_tpu.loop.vocabulary.default_vocabulary()` loads at
+LoopCloser construction.
+
+Run on CPU: JAX_PLATFORMS=cpu python tools/train_vocab.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Seeds chosen disjoint from every seed used by tests (0-13, 21, 42) and
+# bench (7): a held-out texture/trajectory corpus.
+CORPUS_SEEDS = (101, 137, 211, 307, 401)
+FRAMES_PER_SEQ = 24
+OUT = os.path.join(os.path.dirname(__file__), "..", "vins_tpu", "assets",
+                   "brief_k10L3.npz")
+
+
+def main():
+    from vins_tpu import default_config
+    from vins_tpu.io import synthetic
+    from vins_tpu.loop import vocabulary as vocab_mod
+    from vins_tpu.loop.keyframe_db import extract_keyframe_features
+
+    cfg = default_config()
+    lp = cfg.loop
+    Mw = cfg.frontend.max_features
+    no_pts = jnp.zeros((Mw, 2), jnp.float32)
+    no_ok = jnp.zeros((Mw,), bool)
+    extract = jax.jit(lambda img: extract_keyframe_features(
+        img, cfg, lp.max_kf_features, no_pts, no_ok))
+
+    pool, img_ids = [], []
+    img_id = 0
+    for seed in CORPUS_SEEDS:
+        seq = synthetic.make_synthetic_sequence(
+            cfg, n_frames=FRAMES_PER_SEQ, n_landmarks=200, seed=seed,
+            frame_dt=1.0 / 10.0,
+            traj_kwargs=dict(w=0.5 + 0.05 * (seed % 7),
+                             bob=0.1 + 0.02 * (seed % 5)))
+        imgs = synthetic.render_sequence_images(seq, cfg, seed=seed)
+        for i in range(0, FRAMES_PER_SEQ, 2):
+            _pts, ok, desc = extract(jnp.asarray(imgs[i], jnp.float32))
+            ok_np = np.asarray(ok)
+            pool.append(np.asarray(desc)[ok_np])
+            img_ids.append(np.full(int(ok_np.sum()), img_id))
+            img_id += 1
+        print(f"seed {seed}: {sum(len(p) for p in pool)} descriptors",
+              flush=True)
+
+    desc = np.concatenate(pool)
+    ids = np.concatenate(img_ids)
+    print(f"training k={lp.vocab_k} L={lp.vocab_levels} on {len(desc)} "
+          f"descriptors from {img_id} images", flush=True)
+    vocab = vocab_mod.train_vocabulary(
+        desc, k=lp.vocab_k, levels=lp.vocab_levels, iters=8, seed=12345,
+        image_ids=ids)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    vocab_mod.save_vocabulary(OUT, vocab)
+    sz = os.path.getsize(OUT)
+    print(f"saved {OUT} ({sz / 1024:.1f} KiB, "
+          f"{int(np.sum(np.asarray(vocab.weights) > 0))} live words)")
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,15 @@ class SolverConfig:
     # landmarks in a retrieved old keyframe, VINS.cpp:571-637). Bounded by
     # the tracked-feature count, not max_landmarks.
     max_loop_factors: int = 128
+    # Motion-only (vinsPnP) solver budget: the reference runs ≤5 Ceres
+    # iterations in a ≤10 ms cap (vins_pnp.cpp:329-331); the dead-
+    # reckoned warm start makes 3 fixed LM iterations equivalent on the
+    # 30 Hz path (each iteration = one linearize + one residual-only
+    # accept test). Perspective factors are compacted from the S×Mp grid
+    # (~7×256) into this many active slots (~70 live features × ≤6 free
+    # frames) before linearization — the grid is >80% padding.
+    pnp_iters: int = 3
+    pnp_max_factors: int = 448
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,7 +17,7 @@ Everything is fixed-shape and jittable; one `pnp_step` per camera frame.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +76,12 @@ class PnpWindow(NamedTuple):
     feats: PnpFeatures
     chunks: pre_mod.ImuChunk   # [S-1, N] raw IMU per edge
     anchored: jax.Array        # [S] bool — frame matches a backend solve
+    # Per-edge preintegrations, propagated ONCE when an edge enters the
+    # window (the reference likewise preintegrates each edge once,
+    # vins_pnp.cpp:203-242; bias drift is handled to first order by the
+    # propagated Jacobian in the residual). None = legacy construction:
+    # the solver then repropagates all edges from `chunks` each call.
+    preints: Optional[pre_mod.Preintegration] = None
 
 
 def _perspective_local(pt_w, obs, p, q, ext: Extrinsics, sqrt_info):
@@ -106,55 +112,85 @@ def _imu_local(pre, st: PnpState, e, gravity, S_info):
     return local(zero), jax.jacfwd(local)(zero)
 
 
+def window_preints(win: PnpWindow, cfg: VinsConfig) -> pre_mod.Preintegration:
+    """Propagate every edge's preintegration at the window's current bias
+    estimates (legacy/bootstrap path; the streaming path carries them)."""
+    W = win.state.p.shape[0] - 1
+    return jax.vmap(
+        lambda c, ba, bg: pre_mod.propagate(c, ba, bg, cfg.imu)
+    )(win.chunks, win.state.ba[:W], win.state.bg[:W])
+
+
 def solve_pnp_window(win: PnpWindow, cfg: VinsConfig, ext: Extrinsics,
-                     gravity: jax.Array, iters: int = 5
+                     gravity: jax.Array, iters: Optional[int] = None
                      ) -> Tuple[PnpState, jax.Array]:
     """Fixed-iteration LM over the motion-only window. Anchored frames are
     frozen (columns zeroed + identity damping), mirroring the reference's
-    constant parameter blocks."""
+    constant parameter blocks.
+
+    Cost structure (this runs at full camera rate — the 30 Hz path):
+    the S×Mp observation grid is ~80% padding, so active factors are
+    compacted into `pnp_max_factors` slots before linearization, and
+    factors on FROZEN frames are dropped entirely (the landmark is fixed
+    and the pose column is zeroed — they contribute only a constant to
+    the cost, which cancels in the LM accept test). The accept test
+    itself evaluates residuals only (no Jacobians)."""
     st0 = win.state
     S, Mp = win.feats.mask.shape
     W = S - 1
     D = 15 * S
     dtype = st0.p.dtype
     focal_info = jnp.asarray(cfg.camera.focal / 1.5, dtype)
+    if iters is None:
+        iters = cfg.solver.pnp_iters
 
     free = (~win.anchored).astype(dtype)                     # [S]
 
-    preints = jax.vmap(
-        lambda c, ba, bg: pre_mod.propagate(c, ba, bg, cfg.imu)
-    )(win.chunks, st0.ba[:W], st0.bg[:W])
+    preints = win.preints if win.preints is not None \
+        else window_preints(win, cfg)
     S_all = jax.vmap(pre_mod.sqrt_information)(preints)
 
-    fgrid = jnp.repeat(jnp.arange(S, dtype=jnp.int32), Mp)   # [S*Mp]
+    # Compact active factors: live observation, weighted landmark, free
+    # frame. Grid is laid out NEWEST frame first so that on overflow the
+    # dropped factors are the oldest frames' (the newest pose is the
+    # output — its observations must never be dropped).
+    fgrid = jnp.repeat(jnp.arange(S - 1, -1, -1, dtype=jnp.int32), Mp)
     mgrid = jnp.tile(jnp.arange(Mp, dtype=jnp.int32), S)
+    n = S * Mp
+    P = min(cfg.solver.pnp_max_factors, n)
+    w_act = (win.feats.mask[fgrid, mgrid]
+             & (win.feats.weight[mgrid] > 0)
+             & (free[fgrid] > 0)).astype(dtype)
+    score = w_act * (2.0 * n) - jnp.arange(n, dtype=dtype)
+    _, order = jax.lax.top_k(score, P)
+    selF, selM, selW = fgrid[order], mgrid[order], w_act[order]
+    sel_si = focal_info * jnp.minimum(win.feats.weight[selM], 1.0)
+
+    def imu_rows(st: PnpState):
+        return jax.vmap(
+            lambda e: _imu_local(jax.tree.map(lambda x: x[e], preints),
+                                 st, e, gravity, S_all[e]))(jnp.arange(W))
 
     def build(st: PnpState):
         # IMU rows.
-        r_imu, J_imu = jax.vmap(
-            lambda e: _imu_local(jax.tree.map(lambda x: x[e], preints),
-                                 st, e, gravity, S_all[e]))(jnp.arange(W))
+        r_imu, J_imu = imu_rows(st)
         col_scale = jnp.concatenate([
             jnp.repeat(free[:W, None], 15, 1),
             jnp.repeat(free[1:, None], 15, 1)], axis=1)      # [W,30]
         J_imu = J_imu * col_scale[:, None, :]
 
-        # Perspective rows (grid over frames × landmark slots).
-        w_fac = (win.feats.mask[fgrid, mgrid]
-                 & (win.feats.weight[mgrid] > 0)).astype(dtype)
-
         def one(k):
-            si = focal_info * jnp.minimum(win.feats.weight[mgrid[k]], 1.0)
             return _perspective_local(
-                win.feats.pts_w[mgrid[k]], win.feats.obs[fgrid[k], mgrid[k]],
-                st.p[fgrid[k]], st.q[fgrid[k]], ext, si)
+                win.feats.pts_w[selM[k]], win.feats.obs[selF[k], selM[k]],
+                st.p[selF[k]], st.q[selF[k]], ext, sel_si[k])
 
-        r_per, J_per = jax.vmap(one)(jnp.arange(S * Mp))     # [K,2],[K,2,6]
-        r_per = r_per * w_fac[:, None]
-        J_per = J_per * (w_fac[:, None, None] * free[fgrid][:, None, None])
+        r_per, J_per = jax.vmap(one)(jnp.arange(P))          # [P,2],[P,2,6]
+        ok = selW[:, None] > 0
+        r_per = jnp.where(ok, r_per, 0.0)
+        J_per = jnp.where(ok[:, :, None], J_per, 0.0)
 
         # Dense assembly.
-        R_rows = 15 * W + 2 * S * Mp
+        R_rows = 15 * W + 2 * P
         J = jnp.zeros((R_rows, D), dtype)
         r = jnp.zeros((R_rows,), dtype)
         rows_i = 15 * jnp.arange(W)[:, None] + jnp.arange(15)[None, :]
@@ -162,15 +198,26 @@ def solve_pnp_window(win: PnpWindow, cfg: VinsConfig, ext: Extrinsics,
         J = J.at[rows_i[:, :, None], cols_i[:, None, :]].add(J_imu)
         r = r.at[rows_i].set(r_imu)
         base = 15 * W
-        rows_p = base + 2 * jnp.arange(S * Mp)[:, None] + jnp.arange(2)[None, :]
-        cols_p = 15 * fgrid[:, None] + jnp.arange(6)[None, :]
+        rows_p = base + 2 * jnp.arange(P)[:, None] + jnp.arange(2)[None, :]
+        cols_p = 15 * selF[:, None] + jnp.arange(6)[None, :]
         J = J.at[rows_p[:, :, None], cols_p[:, None, :]].add(J_per)
         r = r.at[rows_p].set(r_per)
         return J, r
 
     def cost_of(st):
-        J, r = build(st)
-        return 0.5 * jnp.sum(r * r)
+        """Residual-only robust-free cost (no Jacobians): the LM accept
+        test compares costs, so the frozen-frame constant terms cancel."""
+        r_imu, _ = imu_rows(st)
+
+        def one_r(k):
+            r = perspective_residual(
+                win.feats.pts_w[selM[k]], win.feats.obs[selF[k], selM[k]],
+                st.p[selF[k]], st.q[selF[k]], ext)
+            return sel_si[k] * r
+
+        r_per = jnp.where(selW[:, None] > 0,
+                          jax.vmap(one_r)(jnp.arange(P)), 0.0)
+        return 0.5 * (jnp.sum(r_imu * r_imu) + jnp.sum(r_per * r_per))
 
     def retract(st: PnpState, dx):
         d = dx.reshape(S, 15) * free[:, None]
@@ -235,7 +282,21 @@ def pnp_step(win: PnpWindow, chunk: pre_mod.ImuChunk,
         p=st.p.at[W].set(p_n), q=st.q.at[W].set(q_n), v=st.v.at[W].set(v_n),
         ba=st.ba.at[W].set(st.ba[W - 1]), bg=st.bg.at[W].set(st.bg[W - 1]))
 
-    win2 = PnpWindow(state=st, feats=feats, chunks=chunks, anchored=anchored)
+    # Slide the carried preintegrations and propagate ONLY the new edge
+    # (vins_pnp.cpp:203-242: one IntegrationBase per edge, integrated
+    # once; bias drift handled first-order inside the residual).
+    pre_new = pre_mod.propagate(chunk, st.ba[W - 1], st.bg[W - 1], cfg.imu)
+    if win.preints is not None:
+        preints = jax.tree.map(
+            lambda all_, new: jnp.concatenate([all_[1:], new[None]], 0),
+            win.preints, pre_new)
+    else:
+        tmp = PnpWindow(state=st, feats=feats, chunks=chunks,
+                        anchored=anchored)
+        preints = window_preints(tmp, cfg)
+
+    win2 = PnpWindow(state=st, feats=feats, chunks=chunks,
+                     anchored=anchored, preints=preints)
     solved, cost = solve_pnp_window(win2, cfg, ext, gravity)
     win2 = win2._replace(state=solved)
     return win2, (solved.p[W], solved.q[W], solved.v[W])

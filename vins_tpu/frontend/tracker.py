@@ -122,9 +122,15 @@ def _make_output(state: TrackerState, cfg: VinsConfig) -> FrontendOutput:
         n_tracked=jnp.sum(state.valid))
 
 
-def track_step(state: TrackerState, img: jax.Array,
-               cfg: VinsConfig) -> Tuple[TrackerState, FrontendOutput]:
-    """Track the previous features into `img`, cull, top-up."""
+def track_step(state: TrackerState, img: jax.Array, cfg: VinsConfig,
+               do_topup=True) -> Tuple[TrackerState, FrontendOutput]:
+    """Track the previous features into `img`, cull, top-up.
+
+    do_topup: detect replacement corners only when set (bool or traced
+    scalar). The reference tops up only every FREQ-th frame — the frames
+    handed to the backend (feature_tracker.cpp:231-307, img_cnt==0) —
+    and the Shi-Tomasi sweep is ~20% of the per-frame front-end cost, so
+    the streaming scan gates it on the backend cadence."""
     fe = cfg.frontend
     img_eq = image_mod.clahe(img, fe.clahe_clip, fe.clahe_grid)
     pyr = tuple(image_mod.build_pyramid(img_eq, fe.pyramid_levels))
@@ -147,8 +153,17 @@ def track_step(state: TrackerState, img: jax.Array,
 
     ids = jnp.where(valid, state.ids, -1)
     cnt = jnp.where(valid, state.track_cnt + 1, 0)
-    pts, ids, cnt, valid2, next_id = _top_up(
-        res.pts, ids, cnt, valid, state.next_id, img_eq, cfg)
+    if isinstance(do_topup, bool) and do_topup:
+        pts, ids, cnt, valid2, next_id = _top_up(
+            res.pts, ids, cnt, valid, state.next_id, img_eq, cfg)
+    elif isinstance(do_topup, bool):
+        pts, valid2, next_id = res.pts, valid, state.next_id
+    else:
+        pts, ids, cnt, valid2, next_id = jax.lax.cond(
+            do_topup,
+            lambda a: _top_up(*a, img_eq, cfg),
+            lambda a: a,
+            (res.pts, ids, cnt, valid, state.next_id))
 
     new_state = TrackerState(pyr=pyr, pts=pts, ids=ids, track_cnt=cnt,
                              valid=valid2, next_id=next_id, key=key)
@@ -163,12 +178,15 @@ class FeatureTracker:
         self.state = fresh_state(cfg, seed)
         self.started = False
         self._init = jax.jit(lambda s, i: init_step(s, i, cfg))
-        self._track = jax.jit(lambda s, i: track_step(s, i, cfg))
+        self._track = jax.jit(
+            lambda s, i, t: track_step(s, i, cfg, do_topup=t))
 
-    def process(self, img: jax.Array) -> FrontendOutput:
+    def process(self, img: jax.Array,
+                do_topup: bool = True) -> FrontendOutput:
         if not self.started:
             self.state, out = self._init(self.state, img)
             self.started = True
         else:
-            self.state, out = self._track(self.state, img)
+            self.state, out = self._track(self.state, img,
+                                          jnp.asarray(do_topup))
         return out

@@ -253,11 +253,15 @@ class LoopCloser:
                  ext: Optional[Tuple[jax.Array, jax.Array]] = None,
                  vocab: Optional[vocab_mod.Vocabulary] = None):
         """ext: (tic, qic) camera-IMU extrinsics; identity if None.
-        vocab: pre-trained BoW vocabulary; when None and
-        cfg.loop.place_recognition == "bow", one is trained automatically
-        from the first `vocab_train_after` keyframes' descriptors (the
-        reference instead ships a pre-trained brief_k10L6.bin blob)."""
+        vocab: pre-trained BoW vocabulary. When None and
+        cfg.loop.place_recognition == "bow", the SHIPPED pre-trained
+        asset is loaded (vocabulary.default_vocabulary — the role of the
+        reference's brief_k10L6.bin, ViewController.mm:892-900); only if
+        the asset is absent does the legacy fallback train one at runtime
+        from the first `vocab_train_after` keyframes' descriptors."""
         self.cfg = cfg
+        if vocab is None and cfg.loop.place_recognition == "bow":
+            vocab = vocab_mod.default_vocabulary()
         if ext is None:
             self.tic = jnp.zeros(3, jnp.float32)
             self.qic = lie.quat_identity()
@@ -269,6 +273,7 @@ class LoopCloser:
         self.db = KeyframeDB.empty(K, self.Nf)
         self.graph = PoseGraph.empty(K, E=64)
         self.n_loops = 0
+        self.n_optimizes = 0  # pose-graph runs (observability)
         self.key = jax.random.PRNGKey(seed)
         self.last_match: Optional[int] = None  # temporal consistency
         self.r_drift = np.eye(3, dtype=np.float32)
@@ -283,6 +288,7 @@ class LoopCloser:
         # on the host (device copies of the drift feed the insert jit).
         self.count = 0
         self._segments_np = np.zeros(K, np.int32)
+        self._kf_t_np = np.zeros(K, np.float64)  # capture stamps (eval)
         self._r_drift_dev = jnp.eye(3, dtype=jnp.float32)
         self._t_drift_dev = jnp.zeros(3, jnp.float32)
 
@@ -376,14 +382,21 @@ class LoopCloser:
 
     def add_keyframe(self, img, p, q, window_pts_px, window_pts_ok,
                      window_pts_w, window_pts_w_ok,
-                     window_ids=None) -> int:
+                     window_ids=None, t: float = 0.0) -> int:
         """Insert a keyframe; returns its slot index.
 
         p/q: VIO pose (body in world); window_*: the sliding window's
         tracked features at this frame with their world points;
         window_ids: [Mw] global track ids of the window rows (enables
-        cross-keyframe landmark association for global BA).
+        cross-keyframe landmark association for global BA);
+        t: capture timestamp (seconds; evaluation/export only).
         """
+        if self.count == 0:
+            # Lazy re-sync of the host count mirror: tests/tools may seed
+            # rows via _add_row directly without touching the mirror (the
+            # mirror exists so the hot insert path never blocks on a
+            # device fetch).
+            self.count = int(self.db.count)
         idx = self.count
         K = self.db.p.shape[0]
         if idx >= K:
@@ -405,6 +418,7 @@ class LoopCloser:
             self.db, self.graph, self.bow = self._ins_plain(
                 self.db, self.graph, self.bow, *args)
         self._segments_np[idx] = self.segment
+        self._kf_t_np[idx] = t
         self.count = max(self.count, idx + 1)
         if self.vocab is None:
             self._maybe_train_vocab()
@@ -493,21 +507,26 @@ class LoopCloser:
         if lp.temporal_k > 0 and not consistent:
             return None
 
-        # Geometric verification.
+        # Geometric verification. Explicit dtypes so the runtime avals
+        # match the warm()-compiled signatures (weak-typed scalars would
+        # miss the in-process jit cache and re-trace on the first hit).
         self.key, sub = jax.random.split(self.key)
         midx, mok, n_in = _geometric_verify(
-            self.db, jnp.asarray(cur_idx), jnp.asarray(best), sub,
+            self.db, jnp.asarray(cur_idx, jnp.int32),
+            jnp.asarray(best, jnp.int32), sub,
             max_dist=lp.match_max_dist, ratio=lp.match_ratio,
             hyps=lp.geo_ransac_hyps,
             thresh_sq=jnp.asarray(
-                (lp.geo_ransac_px / self.cfg.camera.focal) ** 2))
+                (lp.geo_ransac_px / self.cfg.camera.focal) ** 2,
+                jnp.float32))
         n_in = int(n_in)
         if n_in < lp.min_loop_matches:
             return None
 
         t_rel, yaw_rel, good, msr = _loop_relative_pose(
-            self.db, jnp.asarray(cur_idx), jnp.asarray(best), midx, mok,
-            self.tic, self.qic, jnp.asarray(lp.pnp_max_msr))
+            self.db, jnp.asarray(cur_idx, jnp.int32),
+            jnp.asarray(best, jnp.int32), midx, mok,
+            self.tic, self.qic, jnp.asarray(lp.pnp_max_msr, jnp.float32))
         if not bool(good):
             return None
         # Loop sanity rejection (ViewController.mm:836-840).
@@ -530,7 +549,19 @@ class LoopCloser:
         e = self.n_loops
         E = self.graph.loop_w.shape[0]
         if e >= E:
-            return
+            # Edge table full: evict the OLDEST loop edge (the reference
+            # has no cap — a list plus 500-kf resampling; here the fixed
+            # table rolls so long runs keep adding constraints, and the
+            # earliest loops are the ones already baked into the
+            # optimized graph).
+            g = self.graph
+            self.graph = g._replace(
+                loop_i=jnp.roll(g.loop_i, -1),
+                loop_j=jnp.roll(g.loop_j, -1),
+                loop_t=jnp.roll(g.loop_t, -1, axis=0),
+                loop_yaw=jnp.roll(g.loop_yaw, -1),
+                loop_w=jnp.roll(g.loop_w, -1))
+            self.n_loops = e = E - 1
         self.graph = self.graph._replace(
             loop_i=self.graph.loop_i.at[e].set(hit.old_idx),
             loop_j=self.graph.loop_j.at[e].set(hit.cur_idx),
@@ -556,6 +587,7 @@ class LoopCloser:
         Returns (r_drift [3,3], t_drift [3])."""
         if self.n_loops == 0:
             return self.r_drift, self.t_drift
+        self.n_optimizes += 1
         first = int(jnp.min(self.graph.loop_i[:self.n_loops]))
         g_before = self.graph
         g_after, cost = self._opt_graph(self.graph,
@@ -698,3 +730,6 @@ class LoopCloser:
         seg_old = self._segments_np
         self._segments_np = np.zeros(K, np.int32)
         self._segments_np[:m] = seg_old[old_idx]
+        t_old = self._kf_t_np
+        self._kf_t_np = np.zeros(K, np.float64)
+        self._kf_t_np[:m] = t_old[old_idx]

@@ -306,3 +306,24 @@ def load_vocabulary(path: str) -> Vocabulary:
         levels = tuple(jnp.asarray(z[f"level_{i}"]) for i in range(n_levels))
         weights = jnp.asarray(z["weights"])
     return Vocabulary(levels=levels, weights=weights)
+
+
+_DEFAULT_VOCAB_PATH = None  # resolved lazily; overridable for tests
+_default_cache = {}
+
+
+def default_vocabulary() -> Optional[Vocabulary]:
+    """The shipped pre-trained vocabulary asset (the role of the
+    reference's brief_k10L6.bin, loaded at startup —
+    ViewController.mm:892-900). Trained OFFLINE on a held-out synthetic
+    corpus by tools/train_vocab.py; returns None if the asset is absent
+    (callers then fall back to runtime training)."""
+    import os
+
+    path = _DEFAULT_VOCAB_PATH or os.path.join(
+        os.path.dirname(__file__), "..", "assets", "brief_k10L3.npz")
+    path = os.path.abspath(path)
+    if path not in _default_cache:
+        _default_cache[path] = (load_vocabulary(path)
+                                if os.path.exists(path) else None)
+    return _default_cache[path]

@@ -23,7 +23,7 @@ anchoring frame l in SfM.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,15 @@ class BAProblem(NamedTuple):
     mask: jax.Array   # [L, K] float
     # Per-pose freeze flags: 1.0 = free, 0.0 = fixed (gauge anchors).
     pose_free: jax.Array  # [K]
+    # Optional position prior pulling every free pose toward prior_p with
+    # weight prior_w (residual rows w·(p−p⁰)). In a mono BA the global
+    # SCALE is observable only through the anchors; without this prior
+    # the whole map re-scales to whatever the two frozen poses' short
+    # baseline says, discarding the VIO's IMU-metric scale (measured as
+    # a 2.4x keyframe-ATE degradation on the revisit fixture). The prior
+    # distributes the metric anchor over every pose instead.
+    prior_p: Optional[jax.Array] = None   # [K, 3]
+    prior_w: Optional[jax.Array] = None   # [] weight per meter
 
 
 class BAState(NamedTuple):
@@ -142,6 +151,18 @@ def _lm_iteration(state: BAState, prob: BAProblem, lam: jax.Array,
         g_s = jax.lax.psum(g_s, axis_name)
         cost = jax.lax.psum(cost, axis_name)
 
+    # Pose-position prior (replicated: added AFTER the psum so shards
+    # don't multiply it).
+    if prob.prior_p is not None:
+        w2 = prob.prior_w * prob.prior_w
+        idxp = (6 * jnp.arange(K)[:, None]
+                + jnp.arange(3)[None, :]).reshape(-1)
+        free3 = jnp.repeat(prob.pose_free, 3)
+        H_s = H_s.at[idxp, idxp].add(w2 * free3)
+        dp = ((state.p - prob.prior_p)
+              * prob.pose_free[:, None]).reshape(-1)
+        g_s = g_s.at[idxp].add(w2 * dp)
+
     # Damping + gauge floor (frozen poses have zeroed columns → identity
     # rows via the absolute term keep the system SPD).
     d = jnp.diagonal(H_s)
@@ -164,6 +185,9 @@ def _ba_cost(state: BAState, prob: BAProblem, axis_name: str | None):
     c = 0.5 * jnp.sum(r * r)
     if axis_name is not None:
         c = jax.lax.psum(c, axis_name)
+    if prob.prior_p is not None:
+        dp = (state.p - prob.prior_p) * prob.pose_free[:, None]
+        c = c + 0.5 * (prob.prior_w ** 2) * jnp.sum(dp * dp)
     return c
 
 
@@ -186,9 +210,20 @@ def _solve_ba_core(state: BAState, prob: BAProblem, iters: int,
     return st, cost, hist
 
 
+def _materialize_prior(state: BAState, prob: BAProblem) -> BAProblem:
+    """Fill absent prior fields with an inert (zero-weight) prior so the
+    pytree structure is fixed (shard_map specs must match leaves)."""
+    if prob.prior_p is not None:
+        return prob
+    return prob._replace(
+        prior_p=jnp.zeros_like(state.p),
+        prior_w=jnp.zeros((), state.p.dtype))
+
+
 def solve_ba(state: BAState, prob: BAProblem, iters: int = 10):
     """Single-device reference LM Schur BA (also the per-shard math)."""
-    return _solve_ba_core(state, prob, iters, axis_name=None)
+    return _solve_ba_core(state, _materialize_prior(state, prob), iters,
+                          axis_name=None)
 
 
 def solve_ba_sharded(state: BAState, prob: BAProblem, mesh: Mesh,
@@ -199,12 +234,14 @@ def solve_ba_sharded(state: BAState, prob: BAProblem, mesh: Mesh,
     observations, and masks shard on their leading axis. The per-iteration
     collective is one psum of a [6K,6K] matrix + [6K] vector over ICI.
     """
+    prob = _materialize_prior(state, prob)
     pspec_lm = P(BLOCK_AXIS)
     pspec_rep = P()
 
     in_specs = (
         BAState(p=pspec_rep, q=pspec_rep, pts=pspec_lm),
-        BAProblem(obs=pspec_lm, mask=pspec_lm, pose_free=pspec_rep),
+        BAProblem(obs=pspec_lm, mask=pspec_lm, pose_free=pspec_rep,
+                  prior_p=pspec_rep, prior_w=pspec_rep),
     )
     out_specs = (
         BAState(p=pspec_rep, q=pspec_rep, pts=pspec_lm),

@@ -100,8 +100,20 @@ def harvest_ba_problem(db, ext_tic, ext_qic,
 
     state = BAState(p=jnp.asarray(p_c), q=jnp.asarray(q_c),
                     pts=jnp.asarray(pts0))
+    # Position prior on every pose at its VIO estimate: in a mono BA the
+    # metric scale lives ONLY in the anchors; without this the map
+    # re-scales to the two frozen poses' short noisy baseline and throws
+    # away the IMU-metric scale (dist_ba.BAProblem docstring). w=0.3 per
+    # meter holds poses to ~cm of their (IMU-metric, pose-graph-
+    # corrected) estimates, so the pass primarily refines the LANDMARKS
+    # into a reprojection-consistent map — the role of the reference's
+    # global optimization — without letting the unobservable mono gauge
+    # wander (measured: a weaker 0.1 prior let the refined subset drift
+    # ~0.2 m against the unrefined keyframes on the revisit fixture).
     prob = BAProblem(obs=jnp.asarray(obs), mask=jnp.asarray(mask),
-                     pose_free=jnp.asarray(pose_free))
+                     pose_free=jnp.asarray(pose_free),
+                     prior_p=jnp.asarray(p_c),
+                     prior_w=jnp.asarray(0.3, jnp.float32))
     return HarvestResult(state=state, prob=prob, kf_indices=sel,
                          track_ids=good)
 

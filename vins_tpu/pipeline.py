@@ -23,6 +23,7 @@ new trajectory segment, re-enter INITIAL (VINS.cpp:463-467).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -196,6 +197,23 @@ class VinsSystem:
 
         self._kf_prep_jit = jax.jit(_kf_prep_impl)
 
+        # One traced-index gather program for "row k of a stacked block
+        # pytree": eager `x[k]` on device arrays compiles a separate
+        # remote program PER DISTINCT INDEX (keyframes land at different
+        # k every block — measured as ~seconds of remote program loads
+        # per block on the tunneled chip).
+        self._take_frame = jax.jit(lambda tree, k: jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, k, 0,
+                                                   keepdims=False), tree))
+
+        # Wall-clock stage budget for the streaming path (seconds,
+        # cumulative): dispatch = async enqueue cost, prepare = device
+        # sync + host loop-closure work, publish = host output assembly.
+        self.timings = {"dispatch": 0.0, "prepare": 0.0, "publish": 0.0,
+                        "prepare_fetch": 0.0, "prepare_loop": 0.0,
+                        "publish_fetch": 0.0, "stream_slice": 0.0,
+                        "blocks": 0}
+
         self.reset()
 
     # -- lifecycle ----------------------------------------------------------
@@ -217,6 +235,10 @@ class VinsSystem:
                 lambda x: jnp.tile(x[None], (S - 1,) + (1,) * x.ndim),
                 pre_mod.ImuChunk.empty(cfg.window.max_imu_per_edge)),
             anchored=jnp.zeros((S,), bool))
+        # Fill the carried preintegrations eagerly: the scan carry's
+        # pytree structure must be fixed (None → filled would retrace).
+        self.pnp = self.pnp._replace(
+            preints=pnp_mod.window_preints(self.pnp, cfg))
         self.frame_idx = 0
         self.kf_count = 0
         self._pending_chunk: Optional[pre_mod.ImuChunk] = None
@@ -295,9 +317,13 @@ class VinsSystem:
         cfg = self.cfg
         F = cfg.window.num_frames
 
-        front = self.tracker.process(img)
-
         is_backend_frame = (self.frame_idx % cfg.freq) == 0
+        # Top-up runs every frame: the reference detects only every
+        # FREQ-th frame (feature_tracker.cpp:231-307), but this tracker's
+        # per-frame attrition (fb-check + F-RANSAC on re-rendered noise)
+        # is high enough that gating was measured to cost 2x ATE for only
+        # ~0.6 ms/frame — revisit if KLT survival improves.
+        front = self.tracker.process(img, do_topup=True)
         self.frame_idx += 1
 
         if not self.initialized:
@@ -475,7 +501,7 @@ class VinsSystem:
         if self.use_loop and bool(is_kf):
             self.kf_count += 1
             if self.kf_count % cfg.loop.loop_freq == 0:
-                loop_hit = self._handle_keyframe(img, out)
+                loop_hit = self._handle_keyframe(img, out, t)
 
         p, q = self._drift_correct(pose_p, pose_q)
         pts_corr = self._drift_correct_points(pts_w)
@@ -492,7 +518,7 @@ class VinsSystem:
             return
         self.pnp = self._sync_pnp_jit(self.pnp, self.est)
 
-    def _handle_keyframe(self, img, out) -> Optional[int]:
+    def _handle_keyframe(self, img, out, t=0.0) -> Optional[int]:
         """Insert keyframe + loop detect; on a hit, stage loop factors for
         the following window solves (the pose graph runs when the loop
         frame retires — see _process_nonlinear)."""
@@ -501,7 +527,7 @@ class VinsSystem:
         idx = self.loop.add_keyframe(
             img, kf_p, kf_q, self.tracker.state.pts,
             self.tracker.state.valid, pts_w_t, ok_t,
-            window_ids=self.tracker.state.ids)
+            window_ids=self.tracker.state.ids, t=t)
         hit = self.loop.detect(idx)
         if hit is None:
             return None
@@ -564,24 +590,35 @@ class VinsSystem:
             pending, has = self._pending_chunk, jnp.asarray(True)
         else:
             pending, has = pre_mod.ImuChunk.empty(N), jnp.asarray(False)
+        # Loop block for the scan: a pending loop (staged by the previous
+        # block's detection, or carried over from interactive mode) rides
+        # into the solve; the scan owns its in-window lifecycle.
+        if self._pending_loop is not None:
+            loop = self._pending_loop["dev"]._replace(
+                frame=jnp.asarray(self._pending_loop["frame"], jnp.int32))
+        else:
+            loop = self._loop_inactive
         return ScanState(
             tracker=self.tracker.state, pnp=self.pnp, est=self.est,
             pending=pending, has_pending=has,
-            phase=jnp.asarray(self.frame_idx % self.cfg.freq, jnp.int32))
+            phase=jnp.asarray(self.frame_idx % self.cfg.freq, jnp.int32),
+            loop=loop)
 
-    def dispatch_block(self, imgs, chunks):
+    def dispatch_block(self, imgs, chunks, ts=None):
         """Phase 1 of block processing: launch the fused device scan
         (stream.run_vio_scan) for a staged block and commit the resulting
-        device state handles WITHOUT synchronizing. The caller may
-        dispatch the NEXT block immediately (XLA queues it behind this
-        one) and then finalize this block's outputs on the host while the
-        next block executes — the TPU-native version of the reference's
+        device state handles WITHOUT synchronizing. The caller overlaps
+        host-side publication of the PREVIOUS block with this block's
+        device execution — the TPU-native version of the reference's
         thread-pipeline latency hiding (ViewController.mm:276-294).
 
-        Returns an opaque handle for finalize_block."""
+        Returns an opaque handle for prepare_block/finalize_block."""
         assert self.initialized, "block mode requires an initialized system"
+        import time as _time
+
         from .stream import run_vio_scan
 
+        _t0 = _time.perf_counter()
         if self._scan_jit is None:
             cfg = self.cfg
             self._scan_jit = jax.jit(
@@ -599,29 +636,63 @@ class VinsSystem:
         self._pending_chunk_dev = (state2.pending, state2.has_pending)
         self._pending_chunk = None
         self.frame_idx += n
-        return (outs, imgs, n)
+        self.timings["dispatch"] = self.timings.get("dispatch", 0) + _time.perf_counter() - _t0
+        self.timings["blocks"] = self.timings.get("blocks", 0) + 1
+        return (outs, imgs, n, ts)
 
-    def finalize_block(self, handle, ts=None):
-        """Phase 2: fetch a dispatched block's outputs, run host-side
-        loop closure for its keyframes, drift-correct, and publish."""
-        outs, imgs, n = handle
-        # Fetch ONLY the small per-frame leaves host decisions need
-        # (~20 KB); the keyframe-harvest leaves (pts/descriptor inputs)
-        # stay on device and feed the fused insert program directly —
-        # over a tunneled chip, device_get of the full pytree was the
-        # single largest host cost per block.
-        p_h, q_h, is_kf_h, fail_h, cost_h, ntr_h = jax.device_get(
-            (outs.p, outs.q, outs.is_keyframe, outs.failure,
-             outs.solver_cost, outs.n_tracked))
+    def prepare_block(self, handle):
+        """Phase 2a (synchronizes on the block's device scan): fetch the
+        per-frame leaves, run the loop-edge lifecycle (refined-edge
+        update + retirement-time pose graph, mirroring the interactive
+        path), insert + detect keyframes, and stage any new loop
+        constraint for the NEXT dispatch. Returns an opaque prep object
+        for publish_block."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        outs, imgs, n, ts = handle
+        # Small per-frame leaves only (~25 KB + the [N,M,3] sparse map);
+        # the keyframe-harvest leaves stay on device and feed the fused
+        # insert program directly.
+        (p_h, q_h, is_kf_h, is_be_h, fail_h, cost_h, ntr_h, lgood_h,
+         lrt_h, lry_h, lret_h) = jax.device_get(
+            (outs.p, outs.q, outs.is_keyframe, outs.is_backend,
+             outs.failure, outs.solver_cost, outs.n_tracked,
+             outs.loop_good, outs.loop_rel_t, outs.loop_rel_yaw,
+             outs.loop_retired))
+        self.timings["prepare_fetch"] = self.timings.get("prepare_fetch", 0) + _time.perf_counter() - _t0
+        _t1 = _time.perf_counter()
 
         # Failure inside the block: the scan freezes the estimator; the
-        # host re-enters INITIAL from the failure point.
+        # host re-enters INITIAL from the failure point (process_stream
+        # reprocesses the tail — VINS.cpp:463-467 keeps consuming frames).
         fail_idx = np.flatnonzero(fail_h)
-        n_ok = int(fail_idx[0]) + 1 if len(fail_idx) else n
+        fail_at = int(fail_idx[0]) if len(fail_idx) else None
+        n_ok = fail_at if fail_at is not None else n
 
-        # Host loop-closure for flagged keyframes: inserts are async
-        # device dispatches; detection is ONE batched scoring fetch for
-        # the whole block (detection-time constraints; optimize on hit).
+        # Loop-edge lifecycle for the constraint that rode this block's
+        # scan: refine the pose-graph edge with the last solved relative
+        # pose, mirror the frame slide, and run the 4-DoF pose graph at
+        # retirement (ViewController.mm:850-875).
+        if self._pending_loop is not None:
+            pl = self._pending_loop
+            ret_idx = np.flatnonzero(lret_h[:n_ok])
+            stop = int(ret_idx[0]) + 1 if len(ret_idx) else n_ok
+            good_idx = np.flatnonzero(lgood_h[:stop])
+            if len(good_idx):
+                g = int(good_idx[-1])
+                self.loop.update_loop_edge(pl["edge"], lrt_h[g],
+                                           float(lry_h[g]))
+            if len(ret_idx) or fail_at is not None:
+                self.loop.optimize()
+                self._pending_loop = None
+            else:
+                # Host mirror of the device-side frame slide (keeps
+                # interactive mode consistent after a mode switch).
+                pl["frame"] -= int(np.sum(is_kf_h[:n_ok]))
+
+        # Keyframe insertion + batched detection. Inserts are async
+        # device dispatches; detection is ONE batched scoring fetch.
         inserted = []
         for k in range(n_ok):
             if not (self.use_loop and bool(is_kf_h[k])):
@@ -629,70 +700,230 @@ class VinsSystem:
             self.kf_count += 1
             if self.kf_count % self.cfg.loop.loop_freq != 0:
                 continue
-            inserted.append(self.loop.add_keyframe(
-                imgs[k], outs.p[k], outs.q[k], outs.kf_pts_px[k],
-                outs.kf_valid[k], outs.kf_pts_w[k], outs.kf_w_ok[k],
-                window_ids=outs.kf_ids[k]))
+            (img_k, p_k, q_k, px_k, v_k, w_k, wok_k, ids_k) = \
+                self._take_frame(
+                    (imgs, outs.p, outs.q, outs.kf_pts_px, outs.kf_valid,
+                     outs.kf_pts_w, outs.kf_w_ok, outs.kf_ids),
+                    jnp.asarray(k, jnp.int32))
+            inserted.append((k, self.loop.add_keyframe(
+                img_k, p_k, q_k, px_k, v_k, w_k, wok_k,
+                window_ids=ids_k,
+                t=float(ts[k]) if ts is not None else 0.0)))
+        loop_hits = {}
         if inserted:
-            hits = self.loop.detect_many(inserted)
-            if any(h is not None for h in hits):
-                self.loop.optimize()
+            hits = self.loop.detect_many([i for _, i in inserted])
+            # Stage the LAST verified hit whose loop frame survives to
+            # the end of the block for injection into the NEXT block's
+            # solves (one block of latency — the reference's async loop
+            # thread feeding retrive_pose_data, VINS.cpp:571-637).
+            for (k, _idx), hit in zip(inserted, hits):
+                if hit is None:
+                    continue
+                loop_hits[k] = hit.old_idx
+                staged = self._stage_stream_loop(hit, k, is_be_h, is_kf_h,
+                                                 outs, n_ok)
+                if not staged:
+                    # Frame already retired (or too few slot matches):
+                    # keep the one-shot detection-time edge.
+                    self.loop.optimize()
+
+        if fail_at is not None:
+            # Re-anchor at the last PRE-failure published pose; if the
+            # failure hit the first frame of the block, keep the previous
+            # block's anchor (self._last_good) untouched.
+            if fail_at >= 1:
+                self._last_good = (p_h[fail_at - 1], _np_yaw(q_h[fail_at - 1]))
+            self._fail_reset()
+        elif n_ok >= 1:
+            self._last_good = (p_h[n_ok - 1], _np_yaw(q_h[n_ok - 1]))
+
+        self.timings["prepare_loop"] = self.timings.get("prepare_loop", 0) + _time.perf_counter() - _t1
+        self.timings["prepare"] = self.timings.get("prepare", 0) + _time.perf_counter() - _t0
+        return dict(outs=outs, n=n, n_ok=n_ok, fail_at=fail_at,
+                    p=p_h, q=q_h, is_kf=is_kf_h, is_be=is_be_h,
+                    cost=cost_h, ntr=ntr_h, loop_hits=loop_hits, ts=ts)
+
+    def _stage_stream_loop(self, hit, k, is_be_h, is_kf_h, outs, n_ok
+                           ) -> bool:
+        """Stage a block-mode loop hit for injection into the next
+        block's window solves. Simulates the loop keyframe's window-slot
+        slide from its block-local index k to the block end (MARGIN_OLD
+        shifts on keyframes; MARGIN_SECOND_NEW destroys slot F-2);
+        returns False if the frame retires before the block ends or too
+        few matches resolve to live landmark slots."""
+        F = self.cfg.window.num_frames
+        slot = F - 2                   # post its own solve's slide
+        for j in range(k + 1, n_ok):
+            if not bool(is_be_h[j]):
+                continue
+            if bool(is_kf_h[j]):
+                slot -= 1
+                if slot < 1:
+                    return False
+            elif slot == F - 2:
+                return False
+
+        # Map the hit's matched old-keyframe observations (keyframe-
+        # feature rows; rows [0, Mw) are tracker slots at frame k) into
+        # CURRENT backend landmark slots by track id.
+        M = self.cfg.window.max_landmarks
+        tr_ids, slot_ids = jax.device_get(
+            (self._take_frame(outs.kf_ids, jnp.asarray(k, jnp.int32)),
+             self.est.feats.track_id))
+        Mw = tr_ids.shape[0]
+        ok_rows = hit.match_ok[:Mw]
+        id2row = {int(tid): r for r, tid in enumerate(tr_ids)
+                  if ok_rows[r] and tid >= 0}
+        obs_by_slot = np.zeros((M, 2), np.float32)
+        ok_by_slot = np.zeros((M,), bool)
+        for m, tid in enumerate(slot_ids):
+            r = id2row.get(int(tid))
+            if r is not None:
+                obs_by_slot[m] = hit.obs_old[r]
+                ok_by_slot[m] = True
+        if ok_by_slot.sum() < 10:
+            return False
+
+        # A new hit supersedes any still-pending loop (VINS.cpp:575-578).
+        if self._pending_loop is not None:
+            self.loop.optimize()
+        self._pending_loop = {
+            "edge": self.loop.n_loops - 1,
+            "old_idx": hit.old_idx,
+            "frame": slot,
+            "dev": LoopInput(
+                obs_old=jnp.asarray(obs_by_slot),
+                ok=jnp.asarray(ok_by_slot),
+                ids=jnp.asarray(slot_ids),
+                frame=jnp.asarray(slot, jnp.int32),
+                weight=jnp.asarray(1.0, jnp.float32)),
+        }
+        return True
+
+    def publish_block(self, prep, ts=None):
+        if ts is None:
+            ts = prep.get("ts")
+        """Phase 2b (pure host work, overlappable with the next block's
+        device scan): drift-correct and assemble the per-frame outputs,
+        including the drift-corrected sparse map at backend frames
+        (update_loop_correction, VINS.cpp:307-331)."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        outs = prep["outs"]
+        n_ok, fail_at = prep["n_ok"], prep["fail_at"]
+        p_h, q_h = prep["p"], prep["q"]
+        pcl_h, pok_h = jax.device_get((outs.point_cloud, outs.point_valid))
+        self.timings["publish_fetch"] = self.timings.get("publish_fetch", 0) + _time.perf_counter() - _t0
 
         results = []
         for k in range(n_ok):
-            p_raw = p_h[k]
-            q_raw = q_h[k]
-            p, q = self._drift_correct(p_raw, q_raw)
+            p, q = self._drift_correct(p_h[k], q_h[k])
             t = float(ts[k]) if ts is not None else 0.0
+            pcl = pval = None
+            if bool(prep["is_be"][k]):
+                pcl = self._drift_correct_points(pcl_h[k])
+                pval = pok_h[k]
             results.append(PipelineOutput(
-                t=t, p=p, q=q, p_raw=p_raw,
-                is_keyframe=bool(is_kf_h[k]), initialized=True,
-                n_tracked=int(ntr_h[k]),
-                solver_cost=float(cost_h[k]), loop_hit=None))
+                t=t, p=p, q=q, p_raw=p_h[k],
+                is_keyframe=bool(prep["is_kf"][k]), initialized=True,
+                n_tracked=int(prep["ntr"][k]),
+                solver_cost=float(prep["cost"][k]),
+                loop_hit=prep["loop_hits"].get(k),
+                point_cloud=pcl, point_valid=pval))
             self.trajectory.append(p)
-        if len(fail_idx):
-            k = max(n_ok - 2, 0)
-            self._last_good = (p_h[k], _np_yaw(q_h[k]))
-            self._fail_reset()
+        if fail_at is not None:
+            t = float(ts[fail_at]) if ts is not None else 0.0
             results.append(PipelineOutput(
-                t=0.0, p=np.zeros(3, np.float32),
+                t=t, p=np.zeros(3, np.float32),
                 q=np.array([1, 0, 0, 0], np.float32),
                 p_raw=np.zeros(3, np.float32), is_keyframe=False,
                 initialized=False, n_tracked=0, solver_cost=0.0,
                 loop_hit=None, status="FAILURE"))
+        self.timings["publish"] = self.timings.get("publish", 0) + _time.perf_counter() - _t0
         return results
+
+    def finalize_block(self, handle, ts=None):
+        """Phase 2: prepare (sync + loop closure) and publish in one call."""
+        return self.publish_block(self.prepare_block(handle), ts)
+
 
     def process_block(self, imgs, chunks, ts=None):
         """Synchronous block processing: dispatch + finalize in one call.
         imgs: [N, H, W]; chunks: stacked ImuChunk [N, ...]."""
-        return self.finalize_block(self.dispatch_block(imgs, chunks), ts)
+        return self.finalize_block(self.dispatch_block(imgs, chunks, ts))
 
     def process_stream(self, imgs, chunks, block: int = 48, ts=None):
-        """Pipelined block processing of a long staged sequence: block
-        k+1's device scan is dispatched BEFORE block k's host-side work
-        (output fetch, loop closure, pose graph), so host and device
-        overlap — the role the reference's five threads play
-        (SURVEY.md §2.3 row 1). Returns the concatenated outputs."""
+        """Streamed block processing of a long staged sequence with
+        host/device overlap (the role the reference's five threads play,
+        SURVEY.md §2.3 row 1):
+
+          dispatch block k  →  publish block k-1 (host, overlaps device)
+          →  prepare block k (sync; loop closure; stage loop input)
+
+        The prepare step syncs on block k so its loop detection can stage
+        constraints into block k+1's dispatch (one block of latency).
+        Bootstrap runs inside the stream (interactive frames until
+        initialized, blocks after), and an in-block failure re-enters
+        INITIAL and REPROCESSES the tail instead of truncating
+        (VINS.cpp:463-467). Returns one output per input frame."""
+        import time as _time
+
         n = int(imgs.shape[0])
         results = []
-        pending = None
-        for s in range(0, n, block):
-            e = min(s + block, n)
+        i = 0
+        pending_pub = None
+
+        # Block slicing via ONE jitted dynamic-slice program (traced
+        # start index): eager `x[i:e]` on a staged device array compiles
+        # a NEW remote program per distinct offset — measured at seconds
+        # per block over the tunneled chip.
+        @functools.partial(jax.jit, static_argnums=2)
+        def _slice(x, s, m):
+            return jax.lax.dynamic_slice_in_dim(x, s, m, axis=0)
+
+        def block_of(x, s, e):
+            if isinstance(x, np.ndarray):
+                return x[s:e]
+            return _slice(x, jnp.asarray(s, jnp.int32), e - s)
+
+        def flush_pending():
+            nonlocal pending_pub
+            if pending_pub is not None:
+                results.extend(self.publish_block(pending_pub))
+                pending_pub = None
+
+        while i < n:
+            # INITIAL (bootstrap or failure recovery): interactive frames.
+            if not self.initialized:
+                flush_pending()
+                out = self.process_frame(
+                    block_of(imgs, i, i + 1)[0],
+                    jax.tree.map(lambda x: block_of(x, i, i + 1)[0],
+                                 chunks),
+                    t=float(ts[i]) if ts is not None else 0.0)
+                results.append(out)
+                i += 1
+                continue
+            e = min(i + block, n)
+            _ts0 = _time.perf_counter()
+            im_b = block_of(imgs, i, e)
+            ch_b = jax.tree.map(lambda x: block_of(x, i, e), chunks)
+            self.timings["stream_slice"] = self.timings.get("stream_slice", 0) + _time.perf_counter() - _ts0
             handle = self.dispatch_block(
-                imgs[s:e], jax.tree.map(lambda x: x[s:e], chunks))
-            if pending is not None:
-                h, (ps, pe) = pending
-                results.extend(self.finalize_block(
-                    h, ts[ps:pe] if ts is not None else None))
-                if not self.initialized:
-                    # Failure in the previous block: the just-dispatched
-                    # block ran on a frozen estimator — discard it.
-                    return results
-            pending = (handle, (s, e))
-        if pending is not None:
-            h, (ps, pe) = pending
-            results.extend(self.finalize_block(
-                h, ts[ps:pe] if ts is not None else None))
+                im_b, ch_b, ts=ts[i:e] if ts is not None else None)
+            flush_pending()  # overlaps block [i:e)'s device scan
+            prep = self.prepare_block(handle)
+            if prep["fail_at"] is not None:
+                # Publish the good prefix + the failure marker, then
+                # reprocess the tail through the interactive path (the
+                # estimator was frozen from the failure frame on).
+                results.extend(self.publish_block(prep))
+                i += prep["fail_at"] + 1
+                continue
+            pending_pub = prep
+            i = e
+        flush_pending()
         return results
 
     def _null_output(self, t, front, status: str = "",

@@ -28,8 +28,8 @@ from .core import feature_manager as fm
 from .core import marginalization as marg
 from .core import pnp as pnp_mod
 from .core import preintegration as pre_mod
-from .core.estimator import (BackendState, FrameInput, backend_step,
-                             landmark_world_points)
+from .core.estimator import (BackendState, FrameInput, LoopInput,
+                             backend_step, landmark_world_points)
 from .core.factors import Extrinsics
 from .frontend import tracker as tr_mod
 
@@ -43,6 +43,13 @@ class ScanState(NamedTuple):
     pending: pre_mod.ImuChunk    # IMU accumulated since last backend frame
     has_pending: jax.Array       # [] bool
     phase: jax.Array             # [] int32; 0 = backend frame
+    # Active loop-closure constraint block (weight 0 = inactive). Staged
+    # by the host from the previous block's detection — one block of
+    # latency, the streaming analog of the reference's async loop thread
+    # feeding retrive_pose_data into the next solve (VINS.cpp:571-637).
+    # The scan owns the in-window lifecycle: frame index slides with
+    # MARGIN_OLD, the constraint dies when its frame retires.
+    loop: LoopInput
 
 
 class ScanOutput(NamedTuple):
@@ -63,6 +70,19 @@ class ScanOutput(NamedTuple):
     kf_pts_w: jax.Array      # [Mw, 3]
     kf_w_ok: jax.Array       # [Mw]
     kf_ids: jax.Array        # [Mw] int32
+    # Sparse map at backend frames (zeros otherwise): the reference
+    # publishes the drift-corrected cloud too (update_loop_correction,
+    # VINS.cpp:307-331); drift is applied host-side at publish time.
+    point_cloud: jax.Array   # [M, 3]
+    point_valid: jax.Array   # [M]
+    # Loop-edge lifecycle (meaningful while a loop block is active):
+    # refined relative pose read off the solved window (VINS.cpp:663-680)
+    # and the retirement event that triggers the 4-DoF pose graph
+    # (ViewController.mm:850-875).
+    loop_good: jax.Array     # [] bool
+    loop_rel_t: jax.Array    # [3]
+    loop_rel_yaw: jax.Array  # []
+    loop_retired: jax.Array  # [] bool
 
 
 def _gather_by_id(dst_ids, src_ids, src_vals, src_valid):
@@ -100,7 +120,8 @@ def vio_scan_step(state: ScanState, img: jax.Array,
     Mw = cfg.frontend.max_features
     dtype = gravity.dtype
 
-    tracker, front = tr_mod.track_step(state.tracker, img, cfg)
+    tracker, front = tr_mod.track_step(state.tracker, img, cfg,
+                                       do_topup=True)
 
     merged = jax.lax.cond(
         state.has_pending,
@@ -119,11 +140,12 @@ def vio_scan_step(state: ScanState, img: jax.Array,
         q30 = state.est.window.q[F - 1]
 
     is_backend = state.phase == 0
+    M = cfg.window.max_landmarks
 
     def do_backend(operand):
-        est, pnp_in = operand
+        est, pnp_in, loop_in = operand
         inp = FrameInput(chunk=merged, ids=front.ids, obs=front.obs,
-                         obs_valid=front.obs_valid)
+                         obs_valid=front.obs_valid, loop=loop_in)
         est2, out = backend_step(est, inp, cfg, ext, gravity)
         # Freeze on failure (host decides recovery between blocks).
         est2 = jax.tree.map(
@@ -135,19 +157,37 @@ def vio_scan_step(state: ScanState, img: jax.Array,
         pts_w_t, has_t = _gather_by_id(
             tracker.ids, est2.feats.track_id, pts_w,
             est2.feats.valid & (win.inv_depth > 1e-3))
-        return (est2, pnp2, out.pose_p, out.pose_q, out.is_keyframe,
-                out.failure, out.stats.final_cost, pts_w_t,
-                has_t & tracker.valid)
+        # Loop-edge lifecycle, mirroring the interactive path
+        # (pipeline._process_nonlinear loop bookkeeping): MARGIN_OLD
+        # slides the loop-carrying frame left each keyframe; a
+        # MARGIN_SECOND_NEW step destroys it if it sits at F-2.
+        active = loop_in.weight > 0
+        frame2 = jnp.where(active & out.is_keyframe, loop_in.frame - 1,
+                           loop_in.frame)
+        retired = active & jnp.where(
+            out.is_keyframe, frame2 < 1, loop_in.frame == F - 2)
+        loop2 = loop_in._replace(
+            frame=frame2,
+            weight=jnp.where(retired | out.failure, 0.0, loop_in.weight))
+        return (est2, pnp2, loop2, out.pose_p, out.pose_q,
+                out.is_keyframe, out.failure, out.stats.final_cost,
+                pts_w_t, has_t & tracker.valid, out.point_cloud,
+                out.point_valid, out.loop_good & active, out.loop_rel_t,
+                out.loop_rel_yaw, retired)
 
     def skip_backend(operand):
-        est, pnp_in = operand
-        return (est, pnp_in, p30, q30, jnp.asarray(False),
+        est, pnp_in, loop_in = operand
+        return (est, pnp_in, loop_in, p30, q30, jnp.asarray(False),
                 jnp.asarray(False), jnp.zeros((), dtype),
-                jnp.zeros((Mw, 3), dtype), jnp.zeros((Mw,), bool))
+                jnp.zeros((Mw, 3), dtype), jnp.zeros((Mw,), bool),
+                jnp.zeros((M, 3), dtype), jnp.zeros((M,), bool),
+                jnp.asarray(False), jnp.zeros((3,), dtype),
+                jnp.zeros((), dtype), jnp.asarray(False))
 
-    (est, pnp, p_out, q_out, is_kf, failure, cost, kf_pts_w,
-     kf_w_ok) = jax.lax.cond(is_backend, do_backend, skip_backend,
-                             (state.est, pnp))
+    (est, pnp, loop, p_out, q_out, is_kf, failure, cost, kf_pts_w,
+     kf_w_ok, pcl, pcl_ok, loop_good, loop_rel_t, loop_rel_yaw,
+     loop_retired) = jax.lax.cond(is_backend, do_backend, skip_backend,
+                                  (state.est, pnp, state.loop))
 
     new_state = ScanState(
         tracker=tracker, pnp=pnp, est=est,
@@ -155,13 +195,17 @@ def vio_scan_step(state: ScanState, img: jax.Array,
             lambda m, z: jnp.where(is_backend, z, m), merged,
             jax.tree.map(jnp.zeros_like, merged)),
         has_pending=~is_backend,
-        phase=(state.phase + 1) % cfg.freq)
+        phase=(state.phase + 1) % cfg.freq,
+        loop=loop)
 
     out = ScanOutput(
         p=p_out, q=q_out, is_backend=is_backend, is_keyframe=is_kf,
         failure=failure, solver_cost=cost, n_tracked=front.n_tracked,
         kf_pts_px=tracker.pts, kf_valid=tracker.valid,
-        kf_pts_w=kf_pts_w, kf_w_ok=kf_w_ok, kf_ids=tracker.ids)
+        kf_pts_w=kf_pts_w, kf_w_ok=kf_w_ok, kf_ids=tracker.ids,
+        point_cloud=pcl, point_valid=pcl_ok,
+        loop_good=loop_good, loop_rel_t=loop_rel_t,
+        loop_rel_yaw=loop_rel_yaw, loop_retired=loop_retired)
     return new_state, out
 
 
