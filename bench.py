@@ -73,7 +73,7 @@ def bench_backend(cfg, n_frames=256):
     return n_frames / dt
 
 
-def bench_system(cfg, n_frames=288, block=48, seed=7):
+def bench_system(cfg, n_frames=528, block=48, seed=7):
     """Full-pipeline frames/s: frontend + pnp + backend + loop closure.
 
     The sequence revisits its own path (full circle) so loop closure has
@@ -138,19 +138,33 @@ def bench_system(cfg, n_frames=288, block=48, seed=7):
     chunks_dev = jax.tree.map(
         lambda x: jax.device_put(x[k:k + n_frames]), seq.chunks)
 
-    # Warm/compile pass over the first block (not timed), then AOT-compile
-    # the loop-closure programs (insert/score/verify/pose-graph) so no
+    # Warm/compile pass over the first two blocks THROUGH process_stream
+    # (not timed): compiles the scan, the traced-index block-slice and
+    # row-gather programs, and the insert path — then AOT-compile the
+    # remaining loop-closure programs (score/verify/pose-graph) so no
     # remote compile fires inside the timed region on the first hit.
-    warm = sys_.process_block(imgs_dev[:block],
-                              jax.tree.map(lambda x: x[:block], chunks_dev))
+    warm = sys_.process_stream(
+        imgs_dev[:2 * block],
+        jax.tree.map(lambda x: x[:2 * block], chunks_dev), block=block)
     assert all(o.initialized for o in warm), "pipeline failed during warmup"
     sys_.loop.warm()
 
-    n_meas = n_frames - block
+    # Pre-compile the block-slicer programs for the MEASURED parent
+    # shapes (the warm pass sliced a shorter staged array, a different
+    # program per leaf — ~1.2 s of remote program loads otherwise billed
+    # to the first measured block).
+    meas_imgs = imgs_dev[2 * block:]
+    meas_chunks = jax.tree.map(lambda x: x[2 * block:], chunks_dev)
+    z = jnp.asarray(0, jnp.int32)
+    jax.block_until_ready(sys_._slice_block(meas_imgs, z, block))
+    jax.tree.map(
+        lambda x: jax.block_until_ready(sys_._slice_block(x, z, block)),
+        meas_chunks)
+
+    n_meas = n_frames - 2 * block
     sys_.timings = {}  # reset; buckets re-accumulate lazily
     t0 = time.perf_counter()
-    outs = sys_.process_stream(imgs_dev[block:], jax.tree.map(
-        lambda x: x[block:], chunks_dev), block=block)
+    outs = sys_.process_stream(meas_imgs, meas_chunks, block=block)
     dt = time.perf_counter() - t0
     assert len(outs) == n_meas and all(o.initialized for o in outs), \
         "pipeline failed during measurement"

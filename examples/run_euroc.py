@@ -147,24 +147,30 @@ def main(argv=None):
         # the refinement when ground truth is available.
         lc = sys_.loop
 
-        def kf_ate():
+        def kf_ate(p_all):
             n_kf = lc.count
             est, gt = [], []
-            p_db = np.asarray(lc.db.p[:n_kf])
             for i in range(n_kf):
                 g = gt_by_t.get(round(float(lc._kf_t_np[i]), 6))
                 if g is not None:
-                    est.append(p_db[i])
+                    est.append(p_all[i])
                     gt.append(g)
             if len(est) < 3:
                 return None
             return evaluate.ate_rmse(np.stack(est), np.stack(gt)).rmse
 
-        pre = kf_ate()
+        # Raw odometry keyframes vs the pose-graph-corrected map: the
+        # pose graph corrects the PAST trajectory retroactively (the
+        # published live pose only benefits going forward), so this pair
+        # is where loop closure's accuracy effect is measured.
+        raw = kf_ate(np.asarray(lc.db.p_origin[:lc.count]))
+        pre = kf_ate(np.asarray(lc.db.p[:lc.count]))
         cost = lc.global_ba()
-        post = kf_ate()
+        post = kf_ate(np.asarray(lc.db.p[:lc.count]))
         result["global_ba_cost"] = (round(cost, 4)
                                     if cost is not None else None)
+        if raw is not None:
+            result["kf_ate_raw"] = round(raw, 4)
         if pre is not None and post is not None:
             result["kf_ate_pre_ba"] = round(pre, 4)
             result["kf_ate_post_ba"] = round(post, 4)

@@ -115,13 +115,19 @@ def test_run_euroc_revisit_loop_closure(tmp_path):
     assert result["frames"] == 359
     assert "ate_rmse" in result, "system never initialized on the fixture"
     assert result["loop_hits"] >= 1, result
-    # Loop correction must not hurt (and the absolute gate holds).
+    # Live published poses: loop correction must not hurt (detections on
+    # this short fixture cluster at the end, so the live improvement is
+    # bounded; the retroactive map correction below is the real gate).
     assert result["ate_rmse"] <= result["ate_rmse_raw"] * 1.05 + 1e-3, \
         result
     assert result["ate_rmse"] < 0.3, result
+    # The pose-graph-corrected keyframe map must BEAT the raw odometry
+    # keyframes (the reference's loop-closure accuracy effect:
+    # keyfame_database.cpp:140-356 corrects the past trajectory).
+    assert "kf_ate_raw" in result and "kf_ate_pre_ba" in result, result
+    assert result["kf_ate_pre_ba"] <= result["kf_ate_raw"] * 1.02, result
     # Global BA ran over the real map and did not degrade the keyframe
     # trajectory (metric scale pinned by the pose prior).
     assert result.get("global_ba_cost") is not None, result
-    if "kf_ate_pre_ba" in result:
-        assert result["kf_ate_post_ba"] <= result["kf_ate_pre_ba"] * 1.1 \
-            + 5e-3, result
+    assert result["kf_ate_post_ba"] <= result["kf_ate_pre_ba"] * 1.1 \
+        + 5e-3, result

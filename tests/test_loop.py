@@ -76,6 +76,10 @@ def test_pose_graph_removes_yaw_drift():
     g = g._replace(
         t=g.t.at[:n].set(jnp.asarray(t_d)),
         yaw=g.yaw.at[:n].set(jnp.asarray(yaw_d)),
+        # Origin columns = the raw (drifted) odometry: sequential edges
+        # are measured from these (keyfame_database.cpp:239 parity).
+        t_origin=g.t_origin.at[:n].set(jnp.asarray(t_d)),
+        yaw_origin=g.yaw_origin.at[:n].set(jnp.asarray(yaw_d)),
         node_ok=g.node_ok.at[:n].set(True))
     # Loop edge: node n-1 ↔ node 0 with the TRUE relative measurement.
     R0 = np.array([[np.cos(yaw_gt[0]), -np.sin(yaw_gt[0]), 0],
@@ -95,10 +99,21 @@ def test_pose_graph_removes_yaw_drift():
     err_after = float(jnp.linalg.norm(g_after.t[n - 1] - t_gt[n - 1]))
     assert err_after < 0.25 * err_before, (err_before, err_after)
 
-    R_d, t_dr = drift_from_solution(g_before, g_after, jnp.asarray(n - 1))
+    # Cumulative drift: optimized-vs-ORIGIN at the latest node; applying
+    # it to the raw (origin) pose reproduces the optimized pose.
+    R_d, t_dr = drift_from_solution(g_after, jnp.asarray(n - 1))
     p_corr = np.asarray(R_d) @ t_d[n - 1] + np.asarray(t_dr)
     np.testing.assert_allclose(p_corr, np.asarray(g_after.t[n - 1]),
                                atol=1e-4)
+
+    # Idempotence: re-optimizing the SOLVED graph with the same edges
+    # must not move the solution (sequential edges are measured from the
+    # origin poses, so repeated runs don't re-measure their own output —
+    # the wander that cost 0.7 m over 12 runs on the revisit fixture).
+    g_again, _ = optimize_pose_graph(g_after, jnp.asarray(0), iters=15)
+    move = float(jnp.max(jnp.linalg.norm(g_again.t[:n] - g_after.t[:n],
+                                         axis=-1)))
+    assert move < 5e-3, f"pose graph not idempotent: {move}"
 
 
 @pytest.mark.slow

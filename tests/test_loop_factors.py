@@ -198,8 +198,15 @@ def test_backend_step_loop_io():
             ok[m] = True
     assert ok.sum() >= 20
 
+    win = est.state.window
     loop = LoopInput(obs_old=jnp.asarray(obs_old), ok=jnp.asarray(ok),
-                     ids=jnp.asarray(tid), frame=jnp.asarray(lf, jnp.int32),
+                     ids=jnp.asarray(tid),
+                     # Loop pose initialized at the window's estimate of
+                     # the loop frame; edge read against its (gt) pose.
+                     p_init=win.p[lf], q_init=win.q[lf],
+                     p_cur=jnp.asarray(seq.p[lf]),
+                     yaw_cur=jnp.asarray(_yaw(seq.q[lf]), jnp.float32),
+                     ttl=jnp.asarray(F, jnp.int32),
                      weight=jnp.asarray(1.0))
     inp = FrameInput(chunk=jax.tree.map(lambda x: x[k], seq.chunks),
                      ids=seq.ids[k], obs=seq.obs[k],

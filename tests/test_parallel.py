@@ -208,7 +208,12 @@ def test_global_ba_refines_real_map_sharded():
     assert cost is not None and np.isfinite(cost)
     p_after = np.asarray(lc.db.p[:12])
     err_after = np.linalg.norm(p_after - p_gt, axis=1).mean()
-    assert err_after < err_before * 0.7, (err_before, err_after)
+    # The production pose prior (harvest anchors every pose at its VIO
+    # estimate to pin the mono-BA gauge/scale) deliberately limits how
+    # far BA can move poses, so the gate is "meaningfully better", not
+    # fully corrected — scale protection is tested separately
+    # (test_ba_pose_prior_anchors_metric_scale).
+    assert err_after < err_before * 0.85, (err_before, err_after)
 
     # Single-device path agrees.
     lc2, _ = _fake_keyframe_db(pose_noise=0.05, point_noise=0.1)

@@ -98,16 +98,26 @@ def test_stream_loop_injection_refines_edge(seq_pack):
     sys_.loop.graph = g._replace(
         node_ok=g.node_ok.at[0].set(True).at[1].set(True),
         t=g.t.at[0].set(jnp.asarray(old_p)).at[1].set(est.window.p[F - 2]),
+        t_origin=g.t_origin.at[0].set(jnp.asarray(old_p))
+        .at[1].set(est.window.p[F - 2]),
         loop_i=g.loop_i.at[0].set(0), loop_j=g.loop_j.at[0].set(1),
         loop_t=g.loop_t.at[0].set(jnp.asarray([9.0, 9.0, 9.0])),
         loop_yaw=g.loop_yaw.at[0].set(9.0),
         loop_w=g.loop_w.at[0].set(1.0))
     sys_.loop.n_loops = 1
+    yaw_old = float(np.arctan2(
+        *np.asarray(lie.quat_to_rotmat(jnp.asarray(old_q)))[[1, 0], 0]))
     sys_._pending_loop = {
-        "edge": 0, "old_idx": 0, "frame": F - 2,
+        "edge": 0, "old_idx": 0, "ttl": F,
         "dev": LoopInput(obs_old=jnp.asarray(obs_old),
                          ok=jnp.asarray(vis), ids=jnp.asarray(tid),
-                         frame=jnp.asarray(F - 2, jnp.int32),
+                         # drift-free staged loop: old pose == the loop
+                         # frame's own pose, so init/readout use it
+                         p_init=jnp.asarray(old_p),
+                         q_init=jnp.asarray(old_q),
+                         p_cur=jnp.asarray(old_p),
+                         yaw_cur=jnp.asarray(yaw_old, jnp.float32),
+                         ttl=jnp.asarray(F, jnp.int32),
                          weight=jnp.asarray(1.0))}
 
     # Stream the rest in blocks; the staged loop is consumed by the

@@ -120,12 +120,28 @@ class LoopInput(NamedTuple):
     reference's retrive_pose_data consumed by solve_ceres,
     VINS.cpp:571-637). Slot-aligned to the backend landmark table; ids
     re-verified on device so stale slots (track churn between detection
-    and injection) drop out."""
+    and injection) drop out.
+
+    TRACK-anchored, not window-slot-anchored: the constraint stays
+    injectable for as long as enough of the matched TRACKS are alive in
+    the landmark table (track lifetime far exceeds a frame's window
+    residence), so block-mode staging latency doesn't kill it. The free
+    loop pose initializes at the detection-time PnP-refined old pose
+    (the reference initializes retrive_pose from the old keyframe too,
+    VINS.cpp:588-590), and the refined pose-graph edge is read against
+    the current keyframe's STORED raw pose (same raw odometry frame as
+    the solved loop pose, so the readout needs no window residence —
+    drift accrued between the keyframe's capture and the refining solve
+    enters the edge, bounded by seconds of odometry)."""
 
     obs_old: jax.Array   # [M, 2] normalized obs in the retrieved keyframe
     ok: jax.Array        # [M] bool
     ids: jax.Array       # [M] int32 track ids the matches were made for
-    frame: jax.Array     # [] int32 window frame carrying the loop
+    p_init: jax.Array    # [3] loop-pose initial value (refined old pose)
+    q_init: jax.Array    # [4]
+    p_cur: jax.Array     # [3] current keyframe's stored raw pose
+    yaw_cur: jax.Array   # [] its yaw (edge readout)
+    ttl: jax.Array       # [] int32 backend solves left before retirement
     weight: jax.Array    # [] float 1.0 active / 0.0 inert
 
     @staticmethod
@@ -134,7 +150,11 @@ class LoopInput(NamedTuple):
             obs_old=jnp.zeros((M, 2), dtype),
             ok=jnp.zeros((M,), bool),
             ids=jnp.full((M,), -1, jnp.int32),
-            frame=jnp.zeros((), jnp.int32),
+            p_init=jnp.zeros((3,), dtype),
+            q_init=lie.quat_identity(dtype),
+            p_cur=jnp.zeros((3,), dtype),
+            yaw_cur=jnp.zeros((), dtype),
+            ttl=jnp.zeros((), jnp.int32),
             weight=jnp.zeros((), dtype))
 
 
@@ -167,6 +187,7 @@ class BackendOutput(NamedTuple):
     loop_rel_t: jax.Array         # [3]
     loop_rel_yaw: jax.Array       # []
     loop_good: jax.Array          # [] bool — loop block active + solve ok
+    loop_support: jax.Array       # [] int32 — live matched-track count
 
 
 def _failure_detection(prev: WindowState, cur: WindowState,
@@ -283,11 +304,9 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
                    & (inp.loop.ids >= 0))
         prob = prob._replace(loop=LoopProblem(
             obs_old=inp.loop.obs_old, ok=loop_ok,
-            frame=inp.loop.frame, weight=inp.loop.weight))
-        lp0 = win.p[inp.loop.frame]
-        lq0 = win.q[inp.loop.frame]
+            frame=jnp.zeros((), jnp.int32), weight=inp.loop.weight))
         solved, (loop_p, loop_q), stats = solve_window_with_loop(
-            win, lp0, lq0, prob, cfg)
+            win, inp.loop.p_init, inp.loop.q_init, prob, cfg)
     else:
         solved, stats = solve_window(win, prob, cfg)
         loop_p = jnp.zeros(3, win.p.dtype)
@@ -327,21 +346,20 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
     feats = fm.remove_failures(solved, feats)
     pts_w = landmark_world_points(solved, feats, ext)
 
-    # Refined loop constraint off the SOLVED window (VINS.cpp:663-680):
-    # t in the solved loop-pose frame, yaw difference — both invariant to
-    # the window's global 4-DoF gauge, so safe to feed the pose graph.
+    # Refined loop constraint off the SOLVED loop pose (VINS.cpp:663-680):
+    # relative t/yaw between the solved loop pose (= the old keyframe in
+    # the current raw-odometry frame) and the current keyframe's stored
+    # raw pose. Both live in the raw frame, so the edge is gauge-safe.
     if inp.loop is not None:
-        p_i = solved.p[inp.loop.frame]
-        q_i = solved.q[inp.loop.frame]
         R_loop = lie.quat_to_rotmat(loop_q)
-        loop_rel_t = R_loop.T @ (p_i - loop_p)
-        yaw_i = lie.rotmat_to_ypr(lie.quat_to_rotmat(q_i))[0]
+        loop_rel_t = R_loop.T @ (inp.loop.p_cur - loop_p)
         yaw_l = lie.rotmat_to_ypr(R_loop)[0]
-        dyaw = yaw_i - yaw_l
+        dyaw = inp.loop.yaw_cur - yaw_l
         loop_rel_yaw = jnp.arctan2(jnp.sin(dyaw), jnp.cos(dyaw))
         n_loop = jnp.sum(prob.loop.ok & feats.valid)
         loop_good = (inp.loop.weight > 0) & (n_loop >= 10) & ~fail
     else:
+        n_loop = jnp.zeros((), jnp.int32)
         loop_rel_t = jnp.zeros(3, win.p.dtype)
         loop_rel_yaw = jnp.zeros((), win.p.dtype)
         loop_good = jnp.asarray(False)
@@ -351,7 +369,8 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
         is_keyframe=is_kf, parallax_px=par_px, failure=fail, stats=stats,
         point_cloud=pts_w, point_valid=feats.valid & feats.mask[F - 1],
         loop_rel_t=loop_rel_t, loop_rel_yaw=loop_rel_yaw,
-        loop_good=loop_good)
+        loop_good=loop_good,
+        loop_support=jnp.asarray(n_loop, jnp.int32))
 
     # 8. Marginalize + slide (MARGIN_OLD if the 2nd-newest was a keyframe).
     prob_solved = prob._replace(feats=feats)

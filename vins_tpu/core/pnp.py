@@ -204,46 +204,39 @@ def solve_pnp_window(win: PnpWindow, cfg: VinsConfig, ext: Extrinsics,
         r = r.at[rows_p].set(r_per)
         return J, r
 
-    def cost_of(st):
-        """Residual-only robust-free cost (no Jacobians): the LM accept
-        test compares costs, so the frozen-frame constant terms cancel."""
-        r_imu, _ = imu_rows(st)
-
-        def one_r(k):
-            r = perspective_residual(
-                win.feats.pts_w[selM[k]], win.feats.obs[selF[k], selM[k]],
-                st.p[selF[k]], st.q[selF[k]], ext)
-            return sel_si[k] * r
-
-        r_per = jnp.where(selW[:, None] > 0,
-                          jax.vmap(one_r)(jnp.arange(P)), 0.0)
-        return 0.5 * (jnp.sum(r_imu * r_imu) + jnp.sum(r_per * r_per))
-
     def retract(st: PnpState, dx):
         d = dx.reshape(S, 15) * free[:, None]
         p, q = lie.pose_retract(st.p, st.q, d[:, 0:6])
         return PnpState(p=p, q=q, v=st.v + d[:, 6:9],
                         ba=st.ba + d[:, 9:12], bg=st.bg + d[:, 12:15])
 
+    # Speculative linearization (same trick as the window solver): the
+    # candidate's accept test and the next iteration's linearization
+    # evaluate the same factors, so each iteration linearizes AT THE
+    # CANDIDATE and carries (J, r) — one factor sweep per iteration.
     def lm_iter(carry, _):
-        st, lam, cost = carry
-        J, r = build(st)
+        st, lam, cost, J, r = carry
         H = J.T @ J
         g = J.T @ r
         H = H + jnp.diag(lam * jnp.diagonal(H) + 1e-6 + lam)
         L = jnp.linalg.cholesky(H)
         dx = -jax.scipy.linalg.cho_solve((L, True), g)
         cand = retract(st, dx)
-        c2 = cost_of(cand)
+        J_c, r_c = build(cand)
+        c2 = 0.5 * jnp.sum(r_c * r_c)
         good = jnp.isfinite(c2) & (c2 < cost)
         st = jax.tree.map(lambda a, b: jnp.where(good, b, a), st, cand)
+        J = jnp.where(good, J_c, J)
+        r = jnp.where(good, r_c, r)
         cost = jnp.where(good, c2, cost)
         lam = jnp.clip(jnp.where(good, lam * 0.3, lam * 10.0), 1e-9, 1e3)
-        return (st, lam, cost), None
+        return (st, lam, cost, J, r), None
 
-    cost0 = cost_of(st0)
-    (st, _, cost), _ = jax.lax.scan(
-        lm_iter, (st0, jnp.asarray(1e-4, dtype), cost0), None, length=iters)
+    J0, r0 = build(st0)
+    cost0 = 0.5 * jnp.sum(r0 * r0)
+    (st, _, cost, _, _), _ = jax.lax.scan(
+        lm_iter, (st0, jnp.asarray(1e-4, dtype), cost0, J0, r0), None,
+        length=iters)
     return st, cost
 
 

@@ -94,6 +94,16 @@ class LoopHit(NamedTuple):
     pts_w: np.ndarray       # [Nm, 3] current-kf world points
     obs_old: np.ndarray     # [Nm, 2] their normalized obs in the old kf
     match_ok: np.ndarray    # [Nm] bool
+    # PnP-refined old-keyframe BODY pose in the current raw-odometry
+    # frame (initializes the free loop pose of the window solve).
+    p_old: np.ndarray = None   # [3]
+    q_old: np.ndarray = None   # [4]
+    # Current keyframe's raw pose (edge readout anchor).
+    p_cur: np.ndarray = None   # [3]
+    q_cur: np.ndarray = None   # [4]
+    # Track ids of the current keyframe's feature rows (staging joins
+    # the matches to the live landmark table by these).
+    tids: np.ndarray = None    # [Nm] int32
 
 
 def extract_keyframe_features(img: jax.Array, cfg: VinsConfig,
@@ -179,12 +189,18 @@ def _insert_impl(db: KeyframeDB, graph: PoseGraph, bow: jax.Array,
 
     db = _add_row(db, idx, p_corr, q_corr, gdesc, desc, kp_norm, pts_px,
                   pts_w, pts_ok, kp_ok, segment, tid)
+    # Node gets the CORRECTED pose as its optimization starting value;
+    # the ORIGIN columns keep the raw odometry for sequential-edge
+    # measurements (pitch/roll are invariant under the yaw-only drift).
     ypr = lie.rotmat_to_ypr(lie.quat_to_rotmat(q_corr))
+    ypr_raw = lie.rotmat_to_ypr(lie.quat_to_rotmat(q))
     graph = graph._replace(
         t=graph.t.at[idx].set(p_corr),
         yaw=graph.yaw.at[idx].set(ypr[0]),
         pitch=graph.pitch.at[idx].set(ypr[1]),
         roll=graph.roll.at[idx].set(ypr[2]),
+        t_origin=graph.t_origin.at[idx].set(p),
+        yaw_origin=graph.yaw_origin.at[idx].set(ypr_raw[0]),
         node_ok=graph.node_ok.at[idx].set(True))
     if vocab is not None:
         _, row = vocab_mod.transform(vocab, desc, kp_ok)
@@ -240,7 +256,7 @@ def _loop_relative_pose(db: KeyframeDB, cur, old, match_idx, match_ok,
     t_rel = R_old.T @ (p_cur - p_old_new)
     yaw_rel = (lie.rotmat_to_ypr(lie.quat_to_rotmat(q_cur))[0]
                - lie.rotmat_to_ypr(R_old)[0])
-    return t_rel, yaw_rel, good, msr
+    return t_rel, yaw_rel, good, msr, p_old_new, q_old_new
 
 
 class LoopCloser:
@@ -274,6 +290,7 @@ class LoopCloser:
         self.graph = PoseGraph.empty(K, E=64)
         self.n_loops = 0
         self.n_optimizes = 0  # pose-graph runs (observability)
+        self._loop_i_host = []  # host mirror of loop_i (min w/o a fetch)
         self.key = jax.random.PRNGKey(seed)
         self.last_match: Optional[int] = None  # temporal consistency
         self.r_drift = np.eye(3, dtype=np.float32)
@@ -351,7 +368,7 @@ class LoopCloser:
             sds((self.Nf,), jnp.bool_), st(self.tic), st(self.qic),
             sds((), f32)).compile()
         self._opt_graph.lower(g_s, idx_s).compile()
-        self._drift_jit.lower(g_s, g_s, idx_s).compile()
+        self._drift_jit.lower(g_s, idx_s).compile()
 
     # -- vocabulary --------------------------------------------------------
 
@@ -523,7 +540,7 @@ class LoopCloser:
         if n_in < lp.min_loop_matches:
             return None
 
-        t_rel, yaw_rel, good, msr = _loop_relative_pose(
+        t_rel, yaw_rel, good, msr, p_old, q_old = _loop_relative_pose(
             self.db, jnp.asarray(cur_idx, jnp.int32),
             jnp.asarray(best, jnp.int32), midx, mok,
             self.tic, self.qic, jnp.asarray(lp.pnp_max_msr, jnp.float32))
@@ -539,11 +556,25 @@ class LoopCloser:
             t_rel=np.asarray(t_rel), yaw_rel=float(yaw_rel),
             pts_w=np.asarray(self.db.pts_w[cur_idx]),
             obs_old=np.asarray(self.db.kp_norm[best, midx]),
-            match_ok=np.asarray(mok & self.db.pts_ok[cur_idx]))
+            match_ok=np.asarray(mok & self.db.pts_ok[cur_idx]),
+            p_old=np.asarray(p_old), q_old=np.asarray(q_old),
+            p_cur=np.asarray(self.db.p_origin[cur_idx]),
+            q_cur=np.asarray(self.db.q_origin[cur_idx]),
+            tids=np.asarray(self.db.tid[cur_idx]))
         self._add_loop_edge(hit)
         return hit
 
     # -- pose graph --------------------------------------------------------
+
+    # Edge weights: a detection-time PnP edge (against noisy triangulated
+    # window points) is TENTATIVE — it enters the graph weakly and only
+    # the window-solve refinement promotes it to full weight
+    # (update_loop_edge). The reference's pose graph consumes ONLY
+    # refined edges (VINS.cpp:663-680); unrefined PnP edges at full
+    # weight were measured to bend the graph by ~0.5 m on the revisit
+    # fixture (their translation error is ~the landmark depth error).
+    W_TENTATIVE = 0.1
+    W_REFINED = 1.0
 
     def _add_loop_edge(self, hit: LoopHit):
         e = self.n_loops
@@ -562,25 +593,29 @@ class LoopCloser:
                 loop_yaw=jnp.roll(g.loop_yaw, -1),
                 loop_w=jnp.roll(g.loop_w, -1))
             self.n_loops = e = E - 1
+            self._loop_i_host.pop(0)
         self.graph = self.graph._replace(
             loop_i=self.graph.loop_i.at[e].set(hit.old_idx),
             loop_j=self.graph.loop_j.at[e].set(hit.cur_idx),
             loop_t=self.graph.loop_t.at[e].set(jnp.asarray(hit.t_rel)),
             loop_yaw=self.graph.loop_yaw.at[e].set(hit.yaw_rel),
-            loop_w=self.graph.loop_w.at[e].set(1.0))
+            loop_w=self.graph.loop_w.at[e].set(self.W_TENTATIVE))
         self.n_loops += 1
+        self._loop_i_host.append(int(hit.old_idx))
 
     def update_loop_edge(self, e: int, t_rel: np.ndarray, yaw_rel: float):
         """Refine an existing loop edge with the window-solve-derived
         relative pose (reference reads the constraint off the SOLVED
         window, VINS.cpp:663-680, and the pose graph consumes that —
-        not the one-shot detection-time PnP)."""
+        not the one-shot detection-time PnP). Promotes the edge from
+        tentative to full weight."""
         if e < 0 or e >= self.n_loops:
             return
         self.graph = self.graph._replace(
             loop_t=self.graph.loop_t.at[e].set(
                 jnp.asarray(t_rel, self.graph.loop_t.dtype)),
-            loop_yaw=self.graph.loop_yaw.at[e].set(float(yaw_rel)))
+            loop_yaw=self.graph.loop_yaw.at[e].set(float(yaw_rel)),
+            loop_w=self.graph.loop_w.at[e].set(self.W_REFINED))
 
     def optimize(self) -> Tuple[np.ndarray, np.ndarray]:
         """Run the 4-DoF pose graph; update db poses and drift.
@@ -588,13 +623,14 @@ class LoopCloser:
         if self.n_loops == 0:
             return self.r_drift, self.t_drift
         self.n_optimizes += 1
-        first = int(jnp.min(self.graph.loop_i[:self.n_loops]))
-        g_before = self.graph
+        # Earliest loop node from the host mirror (a device min here is
+        # a blocking round trip on the streaming path).
+        first = (min(self._loop_i_host) if self._loop_i_host
+                 else int(jnp.min(self.graph.loop_i[:self.n_loops])))
         g_after, cost = self._opt_graph(self.graph,
                                         jnp.asarray(first, jnp.int32))
         latest = self.count - 1
-        R_d, t_d = self._drift_jit(g_before, g_after,
-                                   jnp.asarray(latest, jnp.int32))
+        R_d, t_d = self._drift_jit(g_after, jnp.asarray(latest, jnp.int32))
         self.graph = g_after
         # Write optimized poses back into the database.
         q_new = jax.vmap(lambda y, pi, r: lie.rotmat_to_quat(
@@ -640,7 +676,18 @@ class LoopCloser:
                                                iters=iters)
         else:
             solved, cost, _ = solve_ba(res.state, res.prob, iters=iters)
-        self.db = apply_ba_result(self.db, res, solved, self.tic, self.qic)
+        self.db = apply_ba_result(self.db, res, solved, self.tic, self.qic,
+                                  r_drift=self._r_drift_dev,
+                                  t_drift=self._t_drift_dev)
+        # Refined raw poses also feed the pose graph's origin columns so
+        # subsequent sequential-edge measurements see the refinement.
+        idx = jnp.asarray(res.kf_indices)
+        ypr = jax.vmap(lambda q: lie.rotmat_to_ypr(lie.quat_to_rotmat(q)))(
+            self.db.q_origin[idx])
+        self.graph = self.graph._replace(
+            t_origin=self.graph.t_origin.at[idx].set(
+                self.db.p_origin[idx]),
+            yaw_origin=self.graph.yaw_origin.at[idx].set(ypr[:, 0]))
         return float(cost)
 
     def new_segment(self):
@@ -715,6 +762,8 @@ class LoopCloser:
         self.graph = g._replace(
             t=compact(g.t), yaw=compact(g.yaw), pitch=compact(g.pitch),
             roll=compact(g.roll), node_ok=compact(g.node_ok),
+            t_origin=compact(g.t_origin),
+            yaw_origin=compact(g.yaw_origin),
             loop_i=jnp.asarray(np.where(
                 np.asarray(g.loop_i) < n,
                 remap[np.clip(np.asarray(g.loop_i), 0, n - 1)],
@@ -726,6 +775,9 @@ class LoopCloser:
         if self.last_match is not None:
             nm = remap[self.last_match] if self.last_match < n else -1
             self.last_match = int(nm) if nm >= 0 else None
+        self._loop_i_host = [
+            int(remap[i]) if i < n and remap[i] >= 0 else int(i)
+            for i in self._loop_i_host]
         self.count = m
         seg_old = self._segments_np
         self._segments_np = np.zeros(K, np.int32)

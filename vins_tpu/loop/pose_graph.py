@@ -28,11 +28,20 @@ from ..utils import lie
 class PoseGraph(NamedTuple):
     """Fixed-capacity 4-DoF pose graph."""
 
-    t: jax.Array          # [K, 3] node translations (world)
-    yaw: jax.Array        # [K] node yaw (radians)
+    t: jax.Array          # [K, 3] node translations (world, optimized)
+    yaw: jax.Array        # [K] node yaw (radians, optimized)
     pitch: jax.Array      # [K] frozen pitch
     roll: jax.Array       # [K] frozen roll
     node_ok: jax.Array    # [K] bool — slot holds a node
+    # ORIGIN (raw odometry) poses: sequential-edge measurements derive
+    # from THESE, exactly like the reference builds chain edges from
+    # getOriginPose (keyfame_database.cpp:239). Deriving them from the
+    # already-optimized t/yaw instead lets every optimize() re-measure
+    # its own output — repeated runs then compound the loop constraints
+    # and the solution wanders (measured 0.7 m after 12 runs on the
+    # revisit fixture while per-run drift stayed ~0).
+    t_origin: jax.Array   # [K, 3]
+    yaw_origin: jax.Array  # [K]
     # Loop edges (fixed table, weight 0 = inactive).
     loop_i: jax.Array     # [E] int32 — earlier (old) node
     loop_j: jax.Array     # [E] int32 — later (new) node
@@ -46,6 +55,8 @@ class PoseGraph(NamedTuple):
             t=jnp.zeros((K, 3), dtype), yaw=jnp.zeros((K,), dtype),
             pitch=jnp.zeros((K,), dtype), roll=jnp.zeros((K,), dtype),
             node_ok=jnp.zeros((K,), bool),
+            t_origin=jnp.zeros((K, 3), dtype),
+            yaw_origin=jnp.zeros((K,), dtype),
             loop_i=jnp.zeros((E,), jnp.int32),
             loop_j=jnp.zeros((E,), jnp.int32),
             loop_t=jnp.zeros((E, 3), dtype),
@@ -59,18 +70,18 @@ def _node_rot(yaw, pitch, roll):
 
 def sequential_measurements(g: PoseGraph, n_back: int = 5):
     """Relative (t_ij in frame i, yaw_ij) for each node j to its ≤n_back
-    predecessors, from the CURRENT node values (called once on the VIO
-    poses before optimization, like the reference building edges from
-    origin poses)."""
+    predecessors, measured from the ORIGIN (raw odometry) poses — NOT
+    the optimized values (reference keyfame_database.cpp:239 builds the
+    chain from getOriginPose; see PoseGraph.t_origin)."""
     K = g.t.shape[0]
 
     def one(j, d):
         i = j - d
         ok = (i >= 0) & g.node_ok[j] & g.node_ok[jnp.maximum(i, 0)]
         i = jnp.maximum(i, 0)
-        Ri = _node_rot(g.yaw[i], g.pitch[i], g.roll[i])
-        t_ij = Ri.T @ (g.t[j] - g.t[i])
-        yaw_ij = g.yaw[j] - g.yaw[i]
+        Ri = _node_rot(g.yaw_origin[i], g.pitch[i], g.roll[i])
+        t_ij = Ri.T @ (g.t_origin[j] - g.t_origin[i])
+        yaw_ij = g.yaw_origin[j] - g.yaw_origin[i]
         return i, t_ij, yaw_ij, ok.astype(g.t.dtype)
 
     js = jnp.repeat(jnp.arange(K), n_back)
@@ -149,13 +160,19 @@ def _wrap(a):
     return jnp.arctan2(jnp.sin(a), jnp.cos(a))
 
 
-def drift_from_solution(g_before: PoseGraph, g_after: PoseGraph,
-                        node: jax.Array):
-    """Yaw/translation drift correction at `node` (reference r_drift/
-    t_drift extraction, keyfame_database.cpp:310-330): applies to all
-    later poses as p' = R_drift (p) + t_drift."""
-    dyaw = _wrap(g_after.yaw[node] - g_before.yaw[node])
+def drift_from_solution(g_after: PoseGraph, node: jax.Array):
+    """CUMULATIVE yaw/translation drift correction at `node` (reference
+    r_drift/t_drift extraction, keyfame_database.cpp:310-330): optimized
+    pose vs the ORIGIN (raw odometry) pose, applied to later raw poses
+    as p' = R_drift p + t_drift.
+
+    It must be measured against the ORIGIN pose, not the previous
+    optimization's value: a per-call delta collapses to identity once
+    the graph has converged, silently discarding the accumulated
+    correction from the published outputs (found as corrected ATE ==
+    raw ATE on the revisit fixture despite a 0.5 m graph correction)."""
+    dyaw = _wrap(g_after.yaw[node] - g_after.yaw_origin[node])
     R_drift = lie.ypr_to_rotmat(jnp.stack([dyaw, jnp.zeros_like(dyaw),
                                            jnp.zeros_like(dyaw)]))
-    t_drift = g_after.t[node] - R_drift @ g_before.t[node]
+    t_drift = g_after.t[node] - R_drift @ g_after.t_origin[node]
     return R_drift, t_drift

@@ -119,13 +119,28 @@ def harvest_ba_problem(db, ext_tic, ext_qic,
 
 
 def apply_ba_result(db, res: HarvestResult, solved: BAState,
-                    ext_tic, ext_qic):
-    """Write refined CAMERA poses back as BODY poses into the keyframe
-    DB's corrected-pose columns (the published map the viz/pose-graph
-    consumers read), leaving the raw odometry (p_origin/q_origin) alone."""
+                    ext_tic, ext_qic, r_drift=None, t_drift=None):
+    """Write refined CAMERA poses back as BODY poses.
+
+    The BA runs in the RAW odometry frame (it was harvested from
+    p_origin/q_origin and prior-anchored there), so the refined poses
+    update the raw layer — p_origin/q_origin — and the PUBLISHED
+    corrected columns get the drift-composed version (the same
+    composition keyframe insertion applies, keyfame_database.cpp:21-42).
+    With identity drift the two coincide."""
     q_b = jax.vmap(lambda q: lie.quat_mul(q, lie.quat_conj(ext_qic)))(
         solved.q)
     p_b = solved.p - jax.vmap(lambda q: lie.quat_rotate(q, ext_tic))(q_b)
     idx = jnp.asarray(res.kf_indices)
-    return db._replace(p=db.p.at[idx].set(p_b),
-                       q=db.q.at[idx].set(q_b))
+    if r_drift is None:
+        p_pub, q_pub = p_b, q_b
+    else:
+        r_drift = jnp.asarray(r_drift, p_b.dtype)
+        t_drift = jnp.asarray(t_drift, p_b.dtype)
+        p_pub = p_b @ r_drift.T + t_drift[None, :]
+        q_d = lie.rotmat_to_quat(r_drift)
+        q_pub = jax.vmap(lambda q: lie.quat_mul(q_d, q))(q_b)
+    return db._replace(
+        p=db.p.at[idx].set(p_pub), q=db.q.at[idx].set(q_pub),
+        p_origin=db.p_origin.at[idx].set(p_b),
+        q_origin=db.q_origin.at[idx].set(q_b))

@@ -205,6 +205,13 @@ class VinsSystem:
         self._take_frame = jax.jit(lambda tree, k: jax.tree.map(
             lambda x: jax.lax.dynamic_index_in_dim(x, k, 0,
                                                    keepdims=False), tree))
+        # Traced-start block slicer (instance-level so the jit cache
+        # survives across process_stream calls; a per-call wrapper was
+        # re-loading its programs every stream, ~140 ms/block).
+        self._slice_block = jax.jit(
+            lambda x, s, m: jax.lax.dynamic_slice_in_dim(x, s, m, axis=0),
+            static_argnums=2)
+        self._track_ids_host = None  # host mirror (block mode staging)
 
         # Wall-clock stage budget for the streaming path (seconds,
         # cumulative): dispatch = async enqueue cost, prepare = device
@@ -452,11 +459,11 @@ class VinsSystem:
 
         self._pending_chunk = None
         # Inject pending loop factors into this solve (VINS.cpp:571-637):
-        # the constraint persists while its window frame stays in the
-        # window, each solve refining the pose-graph edge.
+        # the constraint persists while enough matched tracks survive
+        # (TTL-bounded), each solve refining the pose-graph edge.
         if self._pending_loop is not None:
             loop_inp = self._pending_loop["dev"]._replace(
-                frame=jnp.asarray(self._pending_loop["frame"], jnp.int32))
+                ttl=jnp.asarray(self._pending_loop["ttl"], jnp.int32))
         else:
             loop_inp = self._loop_inactive
         inp = FrameInput(chunk=merged, ids=front.ids, obs=front.obs,
@@ -465,11 +472,11 @@ class VinsSystem:
 
         # Single combined fetch of every scalar/pose the host logic reads.
         (failure, is_kf, pose_p, pose_q, cost, ntr, pts_w, pts_ok,
-         loop_rel_t, loop_rel_yaw, loop_good) = jax.device_get(
+         loop_rel_t, loop_rel_yaw, loop_good, loop_support) = jax.device_get(
             (out.failure, out.is_keyframe, out.pose_p, out.pose_q,
              out.stats.final_cost, front.n_tracked, out.point_cloud,
              out.point_valid, out.loop_rel_t, out.loop_rel_yaw,
-             out.loop_good))
+             out.loop_good, out.loop_support))
 
         if bool(failure):
             self._fail_reset()
@@ -479,21 +486,16 @@ class VinsSystem:
         self._sync_pnp_from_backend()
 
         # Loop bookkeeping: refine the pose-graph edge with the solved
-        # relative pose (VINS.cpp:663-680), advance the loop frame through
-        # the slide, and run the 4-DoF pose graph when the loop-carrying
-        # frame retires from the window (ViewController.mm:850-875).
+        # relative pose (VINS.cpp:663-680); the constraint retires when
+        # its TTL runs out or too few matched tracks survive, triggering
+        # the 4-DoF pose graph (ViewController.mm:850-875).
         if self._pending_loop is not None:
             pl = self._pending_loop
             if bool(loop_good):
                 self.loop.update_loop_edge(pl["edge"], loop_rel_t,
                                            float(loop_rel_yaw))
-            if bool(is_kf):
-                pl["frame"] -= 1          # MARGIN_OLD shifts every frame
-                retired = pl["frame"] < 1
-            else:
-                # MARGIN_SECOND_NEW overwrites slot F-2.
-                retired = pl["frame"] == cfg.window.num_frames - 2
-            if retired:
+            pl["ttl"] -= 1
+            if pl["ttl"] <= 0 or int(loop_support) < 10:
                 self.loop.optimize()
                 self._pending_loop = None
 
@@ -520,8 +522,8 @@ class VinsSystem:
 
     def _handle_keyframe(self, img, out, t=0.0) -> Optional[int]:
         """Insert keyframe + loop detect; on a hit, stage loop factors for
-        the following window solves (the pose graph runs when the loop
-        frame retires — see _process_nonlinear)."""
+        the following window solves (the pose graph runs when the
+        constraint retires — see _process_nonlinear)."""
         pts_w_t, ok_t, kf_p, kf_q = self._kf_prep_jit(
             self.est, self.tracker.state)
         idx = self.loop.add_keyframe(
@@ -531,24 +533,27 @@ class VinsSystem:
         hit = self.loop.detect(idx)
         if hit is None:
             return None
-
-        # A new hit supersedes any still-pending loop (reference front_pose
-        # replacement, VINS.cpp:575-578): finalize the old one first.
-        if self._pending_loop is not None:
+        if not self._stage_loop_from_hit(hit):
+            # Too few slot-resolvable matches: run the pose graph with
+            # the tentative detection-time edge.
             self.loop.optimize()
-            self._pending_loop = None
+        return hit.old_idx
 
-        # Re-order the matched old-keyframe observations (current-keyframe
-        # feature-row order; rows [0, Mw) are tracker slots) into BACKEND
-        # landmark slots by track id, so the solver can join them to its
-        # landmark table directly.
+    def _stage_loop_from_hit(self, hit, slot_ids=None) -> bool:
+        """Stage a verified loop hit as a LoopInput for the following
+        window solves (interactive AND block mode — the constraint is
+        track-anchored, so staging latency only costs track attrition).
+        Joins the matched old-keyframe observations to the backend
+        landmark slots by track id (slot_ids: host copy of
+        est.feats.track_id; block callers pass the last prepared
+        block's mirror so staging never syncs on an in-flight scan);
+        returns False when fewer than 10 matches resolve to live
+        slots."""
         M = self.cfg.window.max_landmarks
-        tr_ids = np.asarray(self.tracker.state.ids)
-        tr_ok = np.asarray(self.tracker.state.valid)
-        Mw = tr_ids.shape[0]
-        ok_rows = hit.match_ok[:Mw] & tr_ok
-        slot_ids = np.asarray(self.est.feats.track_id)
-        id2row = {int(tid): r for r, tid in enumerate(tr_ids)
+        if slot_ids is None:   # interactive path: est is already synced
+            slot_ids = np.asarray(jax.device_get(self.est.feats.track_id))
+        ok_rows = np.asarray(hit.match_ok)
+        id2row = {int(tid): r for r, tid in enumerate(hit.tids)
                   if ok_rows[r] and tid >= 0}
         obs_by_slot = np.zeros((M, 2), np.float32)
         ok_by_slot = np.zeros((M,), bool)
@@ -557,26 +562,30 @@ class VinsSystem:
             if r is not None:
                 obs_by_slot[m] = hit.obs_old[r]
                 ok_by_slot[m] = True
-        if ok_by_slot.sum() >= 10:
-            F = self.cfg.window.num_frames
-            self._pending_loop = {
-                "edge": self.loop.n_loops - 1,
-                "old_idx": hit.old_idx,
-                # The keyframe sat at F-1 during its own solve; its post-
-                # slide slot (where the NEXT solve sees it) is F-2.
-                "frame": F - 2,
-                "dev": LoopInput(
-                    obs_old=jnp.asarray(obs_by_slot),
-                    ok=jnp.asarray(ok_by_slot),
-                    ids=jnp.asarray(slot_ids),
-                    frame=jnp.asarray(F - 2, jnp.int32),
-                    weight=jnp.asarray(1.0, jnp.float32)),
-            }
-        else:
-            # Too few slot-resolvable matches: fall back to the one-shot
-            # PnP constraint already in the graph.
+        if ok_by_slot.sum() < 10:
+            return False
+
+        # A new hit supersedes any still-pending loop (reference
+        # front_pose replacement, VINS.cpp:575-578): finalize first.
+        if self._pending_loop is not None:
             self.loop.optimize()
-        return hit.old_idx
+        F = self.cfg.window.num_frames
+        self._pending_loop = {
+            "edge": self.loop.n_loops - 1,
+            "old_idx": hit.old_idx,
+            "ttl": F,            # ≈ the reference's in-window residence
+            "dev": LoopInput(
+                obs_old=jnp.asarray(obs_by_slot),
+                ok=jnp.asarray(ok_by_slot),
+                ids=jnp.asarray(slot_ids),
+                p_init=jnp.asarray(hit.p_old, jnp.float32),
+                q_init=jnp.asarray(hit.q_old, jnp.float32),
+                p_cur=jnp.asarray(hit.p_cur, jnp.float32),
+                yaw_cur=jnp.asarray(_np_yaw(hit.q_cur), jnp.float32),
+                ttl=jnp.asarray(F, jnp.int32),
+                weight=jnp.asarray(1.0, jnp.float32)),
+        }
+        return True
 
     # -- streaming block mode ------------------------------------------------
 
@@ -592,10 +601,10 @@ class VinsSystem:
             pending, has = pre_mod.ImuChunk.empty(N), jnp.asarray(False)
         # Loop block for the scan: a pending loop (staged by the previous
         # block's detection, or carried over from interactive mode) rides
-        # into the solve; the scan owns its in-window lifecycle.
+        # into the solve; the scan owns its TTL/track-support lifecycle.
         if self._pending_loop is not None:
             loop = self._pending_loop["dev"]._replace(
-                frame=jnp.asarray(self._pending_loop["frame"], jnp.int32))
+                ttl=jnp.asarray(self._pending_loop["ttl"], jnp.int32))
         else:
             loop = self._loop_inactive
         return ScanState(
@@ -655,11 +664,17 @@ class VinsSystem:
         # the keyframe-harvest leaves stay on device and feed the fused
         # insert program directly.
         (p_h, q_h, is_kf_h, is_be_h, fail_h, cost_h, ntr_h, lgood_h,
-         lrt_h, lry_h, lret_h) = jax.device_get(
+         lrt_h, lry_h, lret_h, tid_h) = jax.device_get(
             (outs.p, outs.q, outs.is_keyframe, outs.is_backend,
              outs.failure, outs.solver_cost, outs.n_tracked,
              outs.loop_good, outs.loop_rel_t, outs.loop_rel_yaw,
-             outs.loop_retired))
+             outs.loop_retired, self.est.feats.track_id))
+        # Host copy of the landmark-slot track ids at this block's end:
+        # loop staging joins matches against it WITHOUT a device fetch
+        # (fetching self.est after the next dispatch would block on the
+        # whole next scan — measured as ~0.5 s of hidden serialization
+        # per block).
+        self._track_ids_host = tid_h
         self.timings["prepare_fetch"] = self.timings.get("prepare_fetch", 0) + _time.perf_counter() - _t0
         _t1 = _time.perf_counter()
 
@@ -687,12 +702,19 @@ class VinsSystem:
                 self.loop.optimize()
                 self._pending_loop = None
             else:
-                # Host mirror of the device-side frame slide (keeps
-                # interactive mode consistent after a mode switch).
-                pl["frame"] -= int(np.sum(is_kf_h[:n_ok]))
+                # Host mirror of the device-side TTL (keeps interactive
+                # mode consistent after a mode switch).
+                pl["ttl"] -= int(np.sum(is_be_h[:n_ok]))
 
-        # Keyframe insertion + batched detection. Inserts are async
-        # device dispatches; detection is ONE batched scoring fetch.
+        # Keyframe insertion (async device dispatches) + detection split
+        # by STAGEABILITY: only a keyframe whose window slot survives to
+        # the block end can have its constraint injected into the next
+        # block's solves (one block of latency — the reference's async
+        # loop thread feeding retrive_pose_data, VINS.cpp:571-637), so
+        # only those (usually the last 1-2 keyframes) are detected on
+        # the serial path before the next dispatch; the rest are
+        # deferred and detected WHILE the next block runs on-device —
+        # their hits can only ever yield one-shot pose-graph edges.
         inserted = []
         for k in range(n_ok):
             if not (self.use_loop and bool(is_kf_h[k])):
@@ -711,21 +733,26 @@ class VinsSystem:
                 t=float(ts[k]) if ts is not None else 0.0)))
         loop_hits = {}
         if inserted:
+            # ONE batched detection for the whole block. (Deferring
+            # detection to overlap the next block's scan does NOT work
+            # on an in-order device: the scoring/verify dispatches queue
+            # BEHIND the in-flight scan, so their fetches eat the full
+            # scan latency anyway — measured 460 ms/block of phantom
+            # "overlap".) Stage the NEWEST stageable hit; earlier hits
+            # keep tentative edges, folded in by one optimization.
             hits = self.loop.detect_many([i for _, i in inserted])
-            # Stage the LAST verified hit whose loop frame survives to
-            # the end of the block for injection into the NEXT block's
-            # solves (one block of latency — the reference's async loop
-            # thread feeding retrive_pose_data, VINS.cpp:571-637).
-            for (k, _idx), hit in zip(inserted, hits):
-                if hit is None:
-                    continue
+            pairs = [(k, h) for (k, _), h in zip(inserted, hits)
+                     if h is not None]
+            staged = False
+            oneshot = 0
+            for k, hit in reversed(pairs):
                 loop_hits[k] = hit.old_idx
-                staged = self._stage_stream_loop(hit, k, is_be_h, is_kf_h,
-                                                 outs, n_ok)
-                if not staged:
-                    # Frame already retired (or too few slot matches):
-                    # keep the one-shot detection-time edge.
-                    self.loop.optimize()
+                if not staged and self._stage_loop_from_hit(hit, tid_h):
+                    staged = True
+                else:
+                    oneshot += 1
+            if oneshot:
+                self.loop.optimize()
 
         if fail_at is not None:
             # Re-anchor at the last PRE-failure published pose; if the
@@ -743,72 +770,15 @@ class VinsSystem:
                     p=p_h, q=q_h, is_kf=is_kf_h, is_be=is_be_h,
                     cost=cost_h, ntr=ntr_h, loop_hits=loop_hits, ts=ts)
 
-    def _stage_stream_loop(self, hit, k, is_be_h, is_kf_h, outs, n_ok
-                           ) -> bool:
-        """Stage a block-mode loop hit for injection into the next
-        block's window solves. Simulates the loop keyframe's window-slot
-        slide from its block-local index k to the block end (MARGIN_OLD
-        shifts on keyframes; MARGIN_SECOND_NEW destroys slot F-2);
-        returns False if the frame retires before the block ends or too
-        few matches resolve to live landmark slots."""
-        F = self.cfg.window.num_frames
-        slot = F - 2                   # post its own solve's slide
-        for j in range(k + 1, n_ok):
-            if not bool(is_be_h[j]):
-                continue
-            if bool(is_kf_h[j]):
-                slot -= 1
-                if slot < 1:
-                    return False
-            elif slot == F - 2:
-                return False
-
-        # Map the hit's matched old-keyframe observations (keyframe-
-        # feature rows; rows [0, Mw) are tracker slots at frame k) into
-        # CURRENT backend landmark slots by track id.
-        M = self.cfg.window.max_landmarks
-        tr_ids, slot_ids = jax.device_get(
-            (self._take_frame(outs.kf_ids, jnp.asarray(k, jnp.int32)),
-             self.est.feats.track_id))
-        Mw = tr_ids.shape[0]
-        ok_rows = hit.match_ok[:Mw]
-        id2row = {int(tid): r for r, tid in enumerate(tr_ids)
-                  if ok_rows[r] and tid >= 0}
-        obs_by_slot = np.zeros((M, 2), np.float32)
-        ok_by_slot = np.zeros((M,), bool)
-        for m, tid in enumerate(slot_ids):
-            r = id2row.get(int(tid))
-            if r is not None:
-                obs_by_slot[m] = hit.obs_old[r]
-                ok_by_slot[m] = True
-        if ok_by_slot.sum() < 10:
-            return False
-
-        # A new hit supersedes any still-pending loop (VINS.cpp:575-578).
-        if self._pending_loop is not None:
-            self.loop.optimize()
-        self._pending_loop = {
-            "edge": self.loop.n_loops - 1,
-            "old_idx": hit.old_idx,
-            "frame": slot,
-            "dev": LoopInput(
-                obs_old=jnp.asarray(obs_by_slot),
-                ok=jnp.asarray(ok_by_slot),
-                ids=jnp.asarray(slot_ids),
-                frame=jnp.asarray(slot, jnp.int32),
-                weight=jnp.asarray(1.0, jnp.float32)),
-        }
-        return True
-
     def publish_block(self, prep, ts=None):
-        if ts is None:
-            ts = prep.get("ts")
         """Phase 2b (pure host work, overlappable with the next block's
         device scan): drift-correct and assemble the per-frame outputs,
         including the drift-corrected sparse map at backend frames
         (update_loop_correction, VINS.cpp:307-331)."""
         import time as _time
 
+        if ts is None:
+            ts = prep.get("ts")
         _t0 = _time.perf_counter()
         outs = prep["outs"]
         n_ok, fail_at = prep["n_ok"], prep["fail_at"]
@@ -844,7 +814,8 @@ class VinsSystem:
         return results
 
     def finalize_block(self, handle, ts=None):
-        """Phase 2: prepare (sync + loop closure) and publish in one call."""
+        """Phase 2: prepare (sync + loop closure) and publish in one
+        call; the synchronous API drains deferred detections too."""
         return self.publish_block(self.prepare_block(handle), ts)
 
 
@@ -861,8 +832,9 @@ class VinsSystem:
           dispatch block k  →  publish block k-1 (host, overlaps device)
           →  prepare block k (sync; loop closure; stage loop input)
 
-        The prepare step syncs on block k so its loop detection can stage
-        constraints into block k+1's dispatch (one block of latency).
+        The prepare step syncs on block k so its loop detections can
+        stage constraints into block k+1's dispatch (one block of
+        latency; the track-anchored LoopInput tolerates it).
         Bootstrap runs inside the stream (interactive frames until
         initialized, blocks after), and an in-block failure re-enters
         INITIAL and REPROCESSES the tail instead of truncating
@@ -878,14 +850,10 @@ class VinsSystem:
         # start index): eager `x[i:e]` on a staged device array compiles
         # a NEW remote program per distinct offset — measured at seconds
         # per block over the tunneled chip.
-        @functools.partial(jax.jit, static_argnums=2)
-        def _slice(x, s, m):
-            return jax.lax.dynamic_slice_in_dim(x, s, m, axis=0)
-
         def block_of(x, s, e):
             if isinstance(x, np.ndarray):
                 return x[s:e]
-            return _slice(x, jnp.asarray(s, jnp.int32), e - s)
+            return self._slice_block(x, jnp.asarray(s, jnp.int32), e - s)
 
         def flush_pending():
             nonlocal pending_pub

@@ -157,17 +157,16 @@ def vio_scan_step(state: ScanState, img: jax.Array,
         pts_w_t, has_t = _gather_by_id(
             tracker.ids, est2.feats.track_id, pts_w,
             est2.feats.valid & (win.inv_depth > 1e-3))
-        # Loop-edge lifecycle, mirroring the interactive path
-        # (pipeline._process_nonlinear loop bookkeeping): MARGIN_OLD
-        # slides the loop-carrying frame left each keyframe; a
-        # MARGIN_SECOND_NEW step destroys it if it sits at F-2.
+        # Loop-constraint lifecycle (track-anchored, see LoopInput): the
+        # constraint persists while enough matched tracks survive in the
+        # landmark table and its TTL (≈ a window's worth of solves, the
+        # reference's in-window residence) hasn't run out; retirement
+        # triggers the host-side 4-DoF pose graph between blocks.
         active = loop_in.weight > 0
-        frame2 = jnp.where(active & out.is_keyframe, loop_in.frame - 1,
-                           loop_in.frame)
-        retired = active & jnp.where(
-            out.is_keyframe, frame2 < 1, loop_in.frame == F - 2)
+        ttl2 = jnp.where(active, loop_in.ttl - 1, loop_in.ttl)
+        retired = active & ((ttl2 <= 0) | (out.loop_support < 10))
         loop2 = loop_in._replace(
-            frame=frame2,
+            ttl=ttl2,
             weight=jnp.where(retired | out.failure, 0.0, loop_in.weight))
         return (est2, pnp2, loop2, out.pose_p, out.pose_q,
                 out.is_keyframe, out.failure, out.stats.final_cost,
