@@ -139,3 +139,22 @@ def test_solve_is_jittable_and_stable(syn):
     out2, st2 = f(out1, prob)  # solving from the solution stays put
     assert float(st2.final_cost) <= float(st1.final_cost) + 1e-3
     assert np.all(np.isfinite(np.asarray(out2.p)))
+
+
+def test_iter_budget_backpressure(syn):
+    """Runtime iteration budget (the reference's queue-depth-scaled
+    solver cap, VINS.cpp:646-653): a traced budget of 1 must bound the
+    accepted iterations without recompiling, and still reduce cost."""
+    rng = np.random.default_rng(3)
+    F = CFG.window.num_frames
+    prob = build_problem(syn)
+    dp = np.zeros((F, 3), np.float32)
+    dp[1:] = rng.normal(size=(F - 1, 3)) * 0.05
+    init = syn.state._replace(p=syn.state.p + jnp.asarray(dp))
+    f = jax.jit(lambda s, p, b: solve_window(s, p, CFG, iter_budget=b))
+    _, st1 = f(init, prob, jnp.asarray(1, jnp.int32))
+    _, st8 = f(init, prob, jnp.asarray(8, jnp.int32))
+    assert int(st1.accepted_iters) <= 1
+    assert int(st8.accepted_iters) >= int(st1.accepted_iters)
+    assert float(st1.final_cost) < float(st1.initial_cost)
+    assert float(st8.final_cost) <= float(st1.final_cost) + 1e-6

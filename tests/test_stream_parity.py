@@ -180,11 +180,18 @@ def test_stream_failure_recovery_continuity(seq_pack):
 
     post = [o for o in outs[f_at + 1:] if o.initialized]
     assert post, "system never re-initialized after in-block failure"
-    # Continuity: recovery re-anchors near the last good pose.
+    # Continuity: recovery re-anchors near the last good pose. The
+    # platform keeps MOVING during the re-init window (~1 s), so the
+    # gate is the ground-truth displacement over the outage plus an
+    # anchoring tolerance — not an absolute radius.
+    rec_idx = next(i for i in range(f_at + 1, len(outs))
+                   if outs[i].initialized)
+    gt_disp = float(np.linalg.norm(
+        np.asarray(seq.p[k + rec_idx]) - np.asarray(seq.p[k + f_at - 1])))
     last_good_p = outs[f_at - 1].p
     first_rec = post[0].p
-    assert np.linalg.norm(first_rec - last_good_p) < 1.0, \
-        (first_rec, last_good_p)
+    jump = np.linalg.norm(first_rec - last_good_p)
+    assert jump < gt_disp + 0.8, (jump, gt_disp)
     assert np.linalg.norm(first_rec) > 0.5, "teleported to origin"
     # And the recovered tail keeps tracking (finite, moving).
     assert all(np.all(np.isfinite(o.p)) for o in post)
@@ -209,3 +216,31 @@ def test_stream_bootstrap_in_stream(seq_pack):
     gt_p = np.asarray(seq.p[init_at:n_frames])
     res = evaluate.ate_rmse(est_p, gt_p)
     assert res.rmse < 0.15, f"in-stream bootstrap ATE {res.rmse}"
+
+
+@pytest.mark.slow
+def test_stream_backpressure_degrades_solver_budget(seq_pack):
+    """Real-time backpressure (the reference scales its solver cap
+    60→40→30 ms with queue depth, VINS.cpp:646-653): when blocks fall
+    behind the camera rate in realtime mode, the runtime LM iteration
+    budget degrades gracefully toward the floor instead of the queue
+    growing — and the stream still tracks. Offline replay (realtime
+    False, the default) must NOT degrade."""
+    seq, imgs = seq_pack
+    sys_ = VinsSystem(CFG, use_loop=False, ext=seq.ext)
+    k = _boot(sys_, seq, imgs)
+    n_frames = 104
+    full = CFG.solver.max_iters
+    assert sys_.solver_budget == full
+
+    # On a CPU test host every block takes far longer than its 30 Hz
+    # real-time span, so the budget must fall.
+    outs = sys_.process_stream(jnp.asarray(imgs[k:n_frames]),
+                               jax.tree.map(lambda x: x[k:n_frames],
+                                            seq.chunks),
+                               block=12, ts=seq.timestamps[k:n_frames],
+                               realtime=True)
+    assert len(outs) == n_frames - k
+    assert all(o.initialized for o in outs)
+    assert sys_.solver_budget < full, "budget never degraded"
+    assert sys_.solver_budget >= sys_._budget_floor

@@ -115,8 +115,8 @@ def main():
     # --- stage: top-up (occupancy + shi-tomasi + select) ---
     def f_topup(c, img):
         eqi = image_mod.clahe(img, fe.clahe_clip, fe.clahe_grid)
-        occ = corners_mod.occupancy_mask(eqi.shape, st0.pts, st0.valid,
-                                         fe.min_distance)
+        occ = corners_mod.occupancy_cells(eqi.shape, st0.pts, st0.valid,
+                                          fe.min_distance)
         resp = corners_mod.shi_tomasi_response(eqi)
         pick = corners_mod.select_corners_grid(resp, occ, fe.target_features,
                                                fe.min_distance)

@@ -167,6 +167,10 @@ class FrameInput(NamedTuple):
     obs_valid: jax.Array          # [Mi] bool
     # Optional loop-constraint block; None compiles the loop-free step.
     loop: Optional[LoopInput] = None
+    # Optional runtime LM iteration budget (backpressure analog of the
+    # reference's queue-depth-scaled solver cap, VINS.cpp:646-653);
+    # None = the compiled max.
+    iter_budget: Optional[jax.Array] = None
 
 
 class BackendOutput(NamedTuple):
@@ -306,9 +310,11 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
             obs_old=inp.loop.obs_old, ok=loop_ok,
             frame=jnp.zeros((), jnp.int32), weight=inp.loop.weight))
         solved, (loop_p, loop_q), stats = solve_window_with_loop(
-            win, inp.loop.p_init, inp.loop.q_init, prob, cfg)
+            win, inp.loop.p_init, inp.loop.q_init, prob, cfg,
+            iter_budget=inp.iter_budget)
     else:
-        solved, stats = solve_window(win, prob, cfg)
+        solved, stats = solve_window(win, prob, cfg,
+                                     iter_budget=inp.iter_budget)
         loop_p = jnp.zeros(3, win.p.dtype)
         loop_q = lie.quat_identity(win.p.dtype)
 

@@ -382,27 +382,30 @@ def _schur_solve(J: jax.Array, r: jax.Array, lam: jax.Array,
 
 
 def solve_window(state: WindowState, prob: WindowProblem,
-                 cfg: VinsConfig) -> Tuple[WindowState, SolveStats]:
+                 cfg: VinsConfig,
+                 iter_budget=None) -> Tuple[WindowState, SolveStats]:
     """Run the fixed-iteration LM loop (no loop-closure block).
     Pure function; jit/shard-safe."""
     assert prob.loop is None
-    state, _, stats = _solve_window_impl(state, None, prob, cfg)
+    state, _, stats = _solve_window_impl(state, None, prob, cfg,
+                                         iter_budget)
     return state, stats
 
 
 def solve_window_with_loop(state: WindowState, loop_p: jax.Array,
                            loop_q: jax.Array, prob: WindowProblem,
-                           cfg: VinsConfig):
+                           cfg: VinsConfig, iter_budget=None):
     """Joint solve of the window AND a free loop pose constrained by
     loop-reprojection factors (VINS.cpp:571-637; the loop pose parameter
     block is initialized by the caller at the loop-carrying window frame's
     pose, VINS.cpp:588-590). Returns (state, (loop_p, loop_q), stats)."""
     assert prob.loop is not None
-    return _solve_window_impl(state, (loop_p, loop_q), prob, cfg)
+    return _solve_window_impl(state, (loop_p, loop_q), prob, cfg,
+                              iter_budget)
 
 
 def _solve_window_impl(state: WindowState, loop_pq, prob: WindowProblem,
-                       cfg: VinsConfig):
+                       cfg: VinsConfig, iter_budget=None):
     F, M = prob.feats.mask.shape
     D_c = 15 * F
     D_pose = D_c + (6 if prob.loop is not None else 0)
@@ -453,9 +456,16 @@ def _solve_window_impl(state: WindowState, loop_pq, prob: WindowProblem,
                                                     S_imu, sel,
                                                     loop_pq, sel_loop)
 
+    # Runtime-adjustable iteration budget — the XLA analog of the
+    # reference's queue-depth-scaled wall-clock cap (60→40→30 ms,
+    # VINS.cpp:646-653): a traced scalar clamps the compiled max.
+    budget = (jnp.asarray(sc.max_iters, jnp.int32) if iter_budget is None
+              else jnp.minimum(jnp.asarray(iter_budget, jnp.int32),
+                               sc.max_iters))
+
     def cond(carry):
         it, converged = carry[5], carry[6]
-        return (it < sc.max_iters) & jnp.logical_not(converged)
+        return (it < budget) & jnp.logical_not(converged)
 
     def lm_iter(carry):
         (st, lpq, lam, cost, accepted, it, _, small_prev, vis_cost,

@@ -69,8 +69,8 @@ def _top_up(pts, ids, track_cnt, valid, next_id, img_eq, cfg: VinsConfig):
     M = fe.max_features
     need = fe.target_features - jnp.sum(valid)
 
-    occ = corners_mod.occupancy_mask(img_eq.shape, pts, valid,
-                                     fe.min_distance)
+    occ = corners_mod.occupancy_cells(img_eq.shape, pts, valid,
+                                      fe.min_distance)
     resp = corners_mod.shi_tomasi_response(img_eq)
     pick = corners_mod.select_corners_grid(resp, occ, fe.target_features,
                                            fe.min_distance)

@@ -119,8 +119,9 @@ def extract_keyframe_features(img: jax.Array, cfg: VinsConfig,
     n_new = n_feat - Mw
     assert n_new >= 0, "keyframe feature budget below window feature count"
     resp = corners_mod.fast_score(img)
-    occ = corners_mod.occupancy_mask(img.shape, window_pts_px, window_pts_ok,
-                                     cfg.frontend.min_distance)
+    occ = corners_mod.occupancy_cells(img.shape, window_pts_px,
+                                      window_pts_ok,
+                                      cfg.frontend.min_distance)
     pick = corners_mod.select_corners_grid(resp, occ, n_new,
                                            cfg.frontend.min_distance)
     # The grid selector yields at most (H/cell)·(W/cell) candidates; pad
@@ -567,13 +568,14 @@ class LoopCloser:
     # -- pose graph --------------------------------------------------------
 
     # Edge weights: a detection-time PnP edge (against noisy triangulated
-    # window points) is TENTATIVE — it enters the graph weakly and only
-    # the window-solve refinement promotes it to full weight
+    # window points) is TENTATIVE — it enters the graph nearly inert and
+    # only the window-solve refinement promotes it to full weight
     # (update_loop_edge). The reference's pose graph consumes ONLY
-    # refined edges (VINS.cpp:663-680); unrefined PnP edges at full
-    # weight were measured to bend the graph by ~0.5 m on the revisit
-    # fixture (their translation error is ~the landmark depth error).
-    W_TENTATIVE = 0.1
+    # refined edges (VINS.cpp:663-680); unrefined PnP edges at
+    # meaningful weight were measured to bend the graph by ~0.5 m on the
+    # revisit fixture (their translation error is ~the landmark depth
+    # error).
+    W_TENTATIVE = 0.02
     W_REFINED = 1.0
 
     def _add_loop_edge(self, hit: LoopHit):
@@ -688,6 +690,12 @@ class LoopCloser:
             t_origin=self.graph.t_origin.at[idx].set(
                 self.db.p_origin[idx]),
             yaw_origin=self.graph.yaw_origin.at[idx].set(ypr[:, 0]))
+        # Re-publish through the pose graph: the drift composition above
+        # is a single rigid transform (exact only near the latest node);
+        # a graph re-run maps every refined ORIGIN pose through its own
+        # node's correction, keeping the published map consistent.
+        if self.n_loops > 0:
+            self.optimize()
         return float(cost)
 
     def new_segment(self):

@@ -42,23 +42,27 @@ class CornerPick(NamedTuple):
 def select_corners_grid(response: jax.Array, occupied_mask: jax.Array,
                         k: int, cell: int,
                         quality_frac: float = 0.01) -> CornerPick:
-    """Pick up to k corners with ~cell spacing, skipping occupied pixels.
+    """Pick up to k corners with ~cell spacing, skipping occupied areas.
 
-    occupied_mask: [H, W] bool — True where new corners are forbidden
-    (the reference paints filled discs around tracked features,
-    feature_tracker.cpp:50-87).
+    occupied_mask: either a [H, W] bool pixel mask (reference setMask
+    parity, feature_tracker.cpp:50-87) or a [H//cell, W//cell] bool
+    CELL mask (occupancy_cells — the cheap path used per frame).
     """
     H, W = response.shape
-    resp = jnp.where(occupied_mask, -jnp.inf, response)
+    gh, gw = H // cell, W // cell
+    cell_mask = occupied_mask.shape == (gh, gw)
+    resp = response if cell_mask else \
+        jnp.where(occupied_mask, -jnp.inf, response)
     # Border suppression (reference uses 1px border + mask edges).
     resp = resp.at[:8, :].set(-jnp.inf).at[-8:, :].set(-jnp.inf)
     resp = resp.at[:, :8].set(-jnp.inf).at[:, -8:].set(-jnp.inf)
 
-    gh, gw = H // cell, W // cell
     tiles = resp[: gh * cell, : gw * cell].reshape(gh, cell, gw, cell)
     tiles = tiles.transpose(0, 2, 1, 3).reshape(gh * gw, cell * cell)
     best = jnp.max(tiles, axis=1)                       # [cells]
     arg = jnp.argmax(tiles, axis=1)                     # [cells]
+    if cell_mask:
+        best = jnp.where(occupied_mask.reshape(-1), -jnp.inf, best)
 
     thresh = quality_frac * jnp.max(response)
     ok_cell = best > thresh
@@ -86,6 +90,25 @@ def occupancy_mask(shape: Tuple[int, int], pts: jax.Array, valid: jax.Array,
     d2 = (xx - pts[None, None, :, 0]) ** 2 + (yy - pts[None, None, :, 1]) ** 2
     near = (d2 < radius * radius) & valid[None, None, :]
     return jnp.any(near, axis=-1)
+
+
+def occupancy_cells(shape: Tuple[int, int], pts: jax.Array,
+                    valid: jax.Array, cell: int) -> jax.Array:
+    """Cell-level occupancy: [H//cell, W//cell] bool, True where a new
+    corner is forbidden. The selection granularity IS the cell grid
+    (select_corners_grid keeps one winner per cell), so testing cell
+    CENTERS against the features gives the same ~min_distance spacing as
+    the per-pixel disc mask at 1/cell² of the cost (the dense [H,W,M]
+    test was ~40 M lanes per frame — the single most expensive part of
+    the corner top-up)."""
+    H, W = shape
+    gh, gw = H // cell, W // cell
+    cy = (jnp.arange(gh, dtype=pts.dtype) + 0.5) * cell   # [gh]
+    cx = (jnp.arange(gw, dtype=pts.dtype) + 0.5) * cell   # [gw]
+    d2 = ((cx[None, :, None] - pts[None, None, :, 0]) ** 2
+          + (cy[:, None, None] - pts[None, None, :, 1]) ** 2)
+    r = cell  # blocking radius ~ min spacing (cell == min_distance)
+    return jnp.any((d2 < r * r) & valid[None, None, :], axis=-1)
 
 
 def fast_score(img: jax.Array, threshold: float = 0.04) -> jax.Array:

@@ -212,6 +212,14 @@ class VinsSystem:
             lambda x, s, m: jax.lax.dynamic_slice_in_dim(x, s, m, axis=0),
             static_argnums=2)
         self._track_ids_host = None  # host mirror (block mode staging)
+        self._stage_queue = []       # verified hits awaiting refinement
+        # Backpressure: runtime LM iteration budget for streaming solves
+        # (the reference scales its solver wall-clock cap 60→40→30 ms
+        # with queue depth, VINS.cpp:646-653). process_stream lowers it
+        # when a block's wall time exceeds the block's real-time span
+        # and restores it when there is headroom.
+        self.solver_budget = cfg.solver.max_iters
+        self._budget_floor = 3
 
         # Wall-clock stage budget for the streaming path (seconds,
         # cumulative): dispatch = async enqueue cost, prepare = device
@@ -611,7 +619,8 @@ class VinsSystem:
             tracker=self.tracker.state, pnp=self.pnp, est=self.est,
             pending=pending, has_pending=has,
             phase=jnp.asarray(self.frame_idx % self.cfg.freq, jnp.int32),
-            loop=loop)
+            loop=loop,
+            solver_budget=jnp.asarray(self.solver_budget, jnp.int32))
 
     def dispatch_block(self, imgs, chunks, ts=None):
         """Phase 1 of block processing: launch the fused device scan
@@ -738,21 +747,24 @@ class VinsSystem:
             # on an in-order device: the scoring/verify dispatches queue
             # BEHIND the in-flight scan, so their fetches eat the full
             # scan latency anyway — measured 460 ms/block of phantom
-            # "overlap".) Stage the NEWEST stageable hit; earlier hits
-            # keep tentative edges, folded in by one optimization.
+            # "overlap".)
             hits = self.loop.detect_many([i for _, i in inserted])
-            pairs = [(k, h) for (k, _), h in zip(inserted, hits)
-                     if h is not None]
-            staged = False
-            oneshot = 0
-            for k, hit in reversed(pairs):
-                loop_hits[k] = hit.old_idx
-                if not staged and self._stage_loop_from_hit(hit, tid_h):
-                    staged = True
-                else:
-                    oneshot += 1
-            if oneshot:
-                self.loop.optimize()
+            for (k, _idx), hit in zip(inserted, hits):
+                if hit is not None:
+                    loop_hits[k] = hit.old_idx
+                    self._stage_queue.append(hit)
+            self._stage_queue = self._stage_queue[-4:]
+        # One constraint in flight at a time (reference retrive_pose
+        # behavior): when none is pending, stage the NEWEST queued hit
+        # whose matched tracks are still alive — every verified hit gets
+        # window-refined eventually (the constraint is track-anchored,
+        # so waiting a few blocks only costs attrition); hits that never
+        # stage stay as near-inert tentative edges.
+        if self._pending_loop is None:
+            while self._stage_queue:
+                hit = self._stage_queue.pop()
+                if self._stage_loop_from_hit(hit, tid_h):
+                    break
 
         if fail_at is not None:
             # Re-anchor at the last PRE-failure published pose; if the
@@ -824,7 +836,8 @@ class VinsSystem:
         imgs: [N, H, W]; chunks: stacked ImuChunk [N, ...]."""
         return self.finalize_block(self.dispatch_block(imgs, chunks, ts))
 
-    def process_stream(self, imgs, chunks, block: int = 48, ts=None):
+    def process_stream(self, imgs, chunks, block: int = 48, ts=None,
+                       realtime: bool = False):
         """Streamed block processing of a long staged sequence with
         host/device overlap (the role the reference's five threads play,
         SURVEY.md §2.3 row 1):
@@ -878,10 +891,25 @@ class VinsSystem:
             im_b = block_of(imgs, i, e)
             ch_b = jax.tree.map(lambda x: block_of(x, i, e), chunks)
             self.timings["stream_slice"] = self.timings.get("stream_slice", 0) + _time.perf_counter() - _ts0
+            _tb = _time.perf_counter()
             handle = self.dispatch_block(
                 im_b, ch_b, ts=ts[i:e] if ts is not None else None)
             flush_pending()  # overlaps block [i:e)'s device scan
             prep = self.prepare_block(handle)
+            # Backpressure (VINS.cpp:646-653 analog), REAL-TIME mode
+            # only (offline replay has no arrival deadline): compare the
+            # block's wall time to its real-time span and scale the
+            # solver's iteration budget for the NEXT block.
+            if realtime and ts is not None and e - i >= 2:
+                span = float(ts[e - 1] - ts[i]) * (e - i) / (e - i - 1)
+                wall = _time.perf_counter() - _tb
+                if span > 0:
+                    if wall > span and \
+                            self.solver_budget > self._budget_floor:
+                        self.solver_budget -= 1
+                    elif wall < 0.7 * span and \
+                            self.solver_budget < self.cfg.solver.max_iters:
+                        self.solver_budget += 1
             if prep["fail_at"] is not None:
                 # Publish the good prefix + the failure marker, then
                 # reprocess the tail through the interactive path (the

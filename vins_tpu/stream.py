@@ -47,9 +47,12 @@ class ScanState(NamedTuple):
     # by the host from the previous block's detection — one block of
     # latency, the streaming analog of the reference's async loop thread
     # feeding retrive_pose_data into the next solve (VINS.cpp:571-637).
-    # The scan owns the in-window lifecycle: frame index slides with
-    # MARGIN_OLD, the constraint dies when its frame retires.
+    # The scan owns the TTL/track-support lifecycle.
     loop: LoopInput
+    # Runtime LM iteration budget for the window solves (backpressure:
+    # the host lowers it when blocks fall behind the camera rate,
+    # mirroring the reference's 60→40→30 ms cap, VINS.cpp:646-653).
+    solver_budget: jax.Array     # [] int32
 
 
 class ScanOutput(NamedTuple):
@@ -145,7 +148,8 @@ def vio_scan_step(state: ScanState, img: jax.Array,
     def do_backend(operand):
         est, pnp_in, loop_in = operand
         inp = FrameInput(chunk=merged, ids=front.ids, obs=front.obs,
-                         obs_valid=front.obs_valid, loop=loop_in)
+                         obs_valid=front.obs_valid, loop=loop_in,
+                         iter_budget=state.solver_budget)
         est2, out = backend_step(est, inp, cfg, ext, gravity)
         # Freeze on failure (host decides recovery between blocks).
         est2 = jax.tree.map(
@@ -195,7 +199,8 @@ def vio_scan_step(state: ScanState, img: jax.Array,
             jax.tree.map(jnp.zeros_like, merged)),
         has_pending=~is_backend,
         phase=(state.phase + 1) % cfg.freq,
-        loop=loop)
+        loop=loop,
+        solver_budget=state.solver_budget)
 
     out = ScanOutput(
         p=p_out, q=q_out, is_backend=is_backend, is_keyframe=is_kf,
