@@ -237,3 +237,34 @@ def test_keyframe_db_resample_compacts_and_protects():
         jnp.zeros((Mw, 2), jnp.float32), jnp.zeros((Mw,), bool),
         jnp.zeros((Mw, 3), jnp.float32), jnp.zeros((Mw,), bool))
     assert idx == m
+
+
+def test_loop_edge_eviction_at_capacity():
+    """VERDICT r2: the fixed loop-edge table must keep accepting
+    constraints on long runs — overflow evicts the OLDEST edge (the
+    reference has no cap: list + 500-kf resampling) and the host
+    mirrors stay consistent."""
+    from vins_tpu.loop.keyframe_db import LoopHit
+
+    cfg = default_config()
+    lc = LoopCloser(cfg)
+    E = lc.graph.loop_w.shape[0]
+    Nf = lc.Nf
+    for e in range(E + 6):
+        hit = LoopHit(
+            old_idx=e, cur_idx=e + 100, n_inliers=30,
+            t_rel=np.array([0.1 * e, 0, 0], np.float32), yaw_rel=0.01 * e,
+            pts_w=np.zeros((Nf, 3), np.float32),
+            obs_old=np.zeros((Nf, 2), np.float32),
+            match_ok=np.zeros((Nf,), bool))
+        lc._add_loop_edge(hit)
+    assert lc.n_loops == E
+    li = np.asarray(lc.graph.loop_i[:E])
+    # Oldest 6 evicted; newest survives in the last slot.
+    assert li[0] == 6 and li[-1] == E + 5
+    assert lc._loop_i_host == list(range(6, E + 6))
+    # update_loop_edge still addresses the surviving rows.
+    lc.update_loop_edge(E - 1, np.array([9.0, 9.0, 9.0], np.float32), 0.5)
+    np.testing.assert_allclose(np.asarray(lc.graph.loop_t[E - 1]),
+                               [9.0, 9.0, 9.0])
+    assert float(lc.graph.loop_w[E - 1]) == lc.W_REFINED
