@@ -227,6 +227,25 @@ def _geometric_verify(db: KeyframeDB, cur, old, key, *, max_dist, ratio,
     return m.idx, ok, jnp.sum(ok)
 
 
+@functools.partial(jax.jit, static_argnames=("max_dist", "ratio", "hyps"))
+def _verify_hit(db: KeyframeDB, cur, old, key, tic, qic, *, max_dist,
+                ratio, hyps, thresh_sq, max_msr):
+    """Fused geometric verification + relative-pose PnP + hit-data
+    gather: ONE device program and one host fetch per candidate (the
+    split version cost two dispatch+fetch round trips per hit, plus
+    per-index eager gathers that compiled a new program per keyframe
+    slot)."""
+    midx, mok, n_in = _geometric_verify(
+        db, cur, old, key, max_dist=max_dist, ratio=ratio, hyps=hyps,
+        thresh_sq=thresh_sq)
+    t_rel, yaw_rel, good, msr, p_old, q_old = _loop_relative_pose(
+        db, cur, old, midx, mok, tic, qic, max_msr)
+    return (n_in, t_rel, yaw_rel, good, msr, p_old, q_old,
+            db.pts_w[cur], db.kp_norm[old, midx],
+            mok & db.pts_ok[cur], db.p_origin[cur], db.q_origin[cur],
+            db.tid[cur])
+
+
 @jax.jit
 def _loop_relative_pose(db: KeyframeDB, cur, old, match_idx, match_ok,
                         tic, qic, max_msr):
@@ -360,14 +379,11 @@ class LoopCloser:
                 sds((Q, self.db.gdesc.shape[1]), f32)).compile()
         key_s = st(self.key)
         idx_s = sds((), i32)
-        _geometric_verify.lower(
-            db_s, idx_s, idx_s, key_s, max_dist=lp.match_max_dist,
-            ratio=lp.match_ratio, hyps=lp.geo_ransac_hyps,
-            thresh_sq=sds((), f32)).compile()
-        _loop_relative_pose.lower(
-            db_s, idx_s, idx_s, sds((self.Nf,), i32),
-            sds((self.Nf,), jnp.bool_), st(self.tic), st(self.qic),
-            sds((), f32)).compile()
+        _verify_hit.lower(
+            db_s, idx_s, idx_s, key_s, st(self.tic), st(self.qic),
+            max_dist=lp.match_max_dist, ratio=lp.match_ratio,
+            hyps=lp.geo_ransac_hyps, thresh_sq=sds((), f32),
+            max_msr=sds((), f32)).compile()
         self._opt_graph.lower(g_s, idx_s).compile()
         self._drift_jit.lower(g_s, idx_s).compile()
 
@@ -525,43 +541,37 @@ class LoopCloser:
         if lp.temporal_k > 0 and not consistent:
             return None
 
-        # Geometric verification. Explicit dtypes so the runtime avals
+        # Geometric verification + relative pose + hit-data gather: ONE
+        # fused program, one fetch. Explicit dtypes so the runtime avals
         # match the warm()-compiled signatures (weak-typed scalars would
         # miss the in-process jit cache and re-trace on the first hit).
         self.key, sub = jax.random.split(self.key)
-        midx, mok, n_in = _geometric_verify(
-            self.db, jnp.asarray(cur_idx, jnp.int32),
-            jnp.asarray(best, jnp.int32), sub,
-            max_dist=lp.match_max_dist, ratio=lp.match_ratio,
-            hyps=lp.geo_ransac_hyps,
-            thresh_sq=jnp.asarray(
-                (lp.geo_ransac_px / self.cfg.camera.focal) ** 2,
-                jnp.float32))
-        n_in = int(n_in)
-        if n_in < lp.min_loop_matches:
+        (n_in, t_rel, yaw_rel, good, msr, p_old, q_old, pts_w_cur,
+         obs_old_g, match_ok_g, p_cur, q_cur, tid_cur) = jax.device_get(
+            _verify_hit(
+                self.db, jnp.asarray(cur_idx, jnp.int32),
+                jnp.asarray(best, jnp.int32), sub, self.tic, self.qic,
+                max_dist=lp.match_max_dist, ratio=lp.match_ratio,
+                hyps=lp.geo_ransac_hyps,
+                thresh_sq=jnp.asarray(
+                    (lp.geo_ransac_px / self.cfg.camera.focal) ** 2,
+                    jnp.float32),
+                max_msr=jnp.asarray(lp.pnp_max_msr, jnp.float32)))
+        if int(n_in) < lp.min_loop_matches:
             return None
-
-        t_rel, yaw_rel, good, msr, p_old, q_old = _loop_relative_pose(
-            self.db, jnp.asarray(cur_idx, jnp.int32),
-            jnp.asarray(best, jnp.int32), midx, mok,
-            self.tic, self.qic, jnp.asarray(lp.pnp_max_msr, jnp.float32))
         if not bool(good):
             return None
         # Loop sanity rejection (ViewController.mm:836-840).
         if (abs(float(yaw_rel)) > np.deg2rad(lp.yaw_reject_deg)
-                or float(jnp.linalg.norm(t_rel)) > lp.trans_reject_m):
+                or float(np.linalg.norm(t_rel)) > lp.trans_reject_m):
             return None
 
         hit = LoopHit(
-            old_idx=best, cur_idx=cur_idx, n_inliers=n_in,
-            t_rel=np.asarray(t_rel), yaw_rel=float(yaw_rel),
-            pts_w=np.asarray(self.db.pts_w[cur_idx]),
-            obs_old=np.asarray(self.db.kp_norm[best, midx]),
-            match_ok=np.asarray(mok & self.db.pts_ok[cur_idx]),
-            p_old=np.asarray(p_old), q_old=np.asarray(q_old),
-            p_cur=np.asarray(self.db.p_origin[cur_idx]),
-            q_cur=np.asarray(self.db.q_origin[cur_idx]),
-            tids=np.asarray(self.db.tid[cur_idx]))
+            old_idx=best, cur_idx=cur_idx, n_inliers=int(n_in),
+            t_rel=t_rel, yaw_rel=float(yaw_rel),
+            pts_w=pts_w_cur, obs_old=obs_old_g, match_ok=match_ok_g,
+            p_old=p_old, q_old=q_old, p_cur=p_cur, q_cur=q_cur,
+            tids=tid_cur)
         self._add_loop_edge(hit)
         return hit
 
