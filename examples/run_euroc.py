@@ -119,6 +119,8 @@ def main(argv=None):
                                      f.chunk, t=f.t)
             publish(out, f.gt_p)
     flush_block()
+    if sys_.loop is not None:
+        sys_.drain_loop_work()  # deferred block-mode detections
     wall = time.perf_counter() - t0
     print(f"{k} frames in {wall:.1f}s ({k / wall:.1f} fps incl. compile)")
 

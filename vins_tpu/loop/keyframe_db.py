@@ -315,6 +315,7 @@ class LoopCloser:
         self.last_match: Optional[int] = None  # temporal consistency
         self.r_drift = np.eye(3, dtype=np.float32)
         self.t_drift = np.zeros(3, dtype=np.float32)
+        self._drift_dirty = False
         self.segment = 0
         # BoW place recognition state (dense [K, n_words] tf-idf rows).
         self.vocab = vocab
@@ -491,15 +492,40 @@ class LoopCloser:
         query index."""
         if len(idxs) == 0:
             return []
-        # Pad the query batch to a fixed width so the scoring program
-        # compiles for at most two shapes (1 and _DETECT_PAD) instead of
-        # one per distinct batch size (remote compiles are expensive).
+        scores_all, floor = self._place_scores_many(self._pad_queries(idxs))
+        return self.detect_from_scores(idxs, scores_all, floor)
+
+    @staticmethod
+    def _pad_queries(idxs) -> list:
+        """Pad the query batch to a fixed width so the scoring program
+        compiles for at most two shapes (1 and _DETECT_PAD) instead of
+        one per distinct batch size (remote compiles are expensive)."""
         Q = len(idxs)
         pad = Q if Q <= 1 else _DETECT_PAD * ((Q + _DETECT_PAD - 1)
                                               // _DETECT_PAD)
-        padded = list(idxs) + [idxs[0]] * (pad - Q)
-        scores_all, floor = self._place_scores_many(padded)
-        return [self._gate_and_verify(int(cur), scores_all[i].copy(), floor)
+        return list(idxs) + [idxs[0]] * (pad - Q)
+
+    def dispatch_scores(self, idxs):
+        """Async half of detect_many: dispatch the batched scoring
+        program and return its DEVICE result (+ floor). The caller
+        fetches it later — typically folded into an existing combined
+        fetch so steady-state detection costs no extra round trip over
+        the tunneled link."""
+        lp = self.cfg.loop
+        rows = jnp.asarray(np.asarray(self._pad_queries(idxs), np.int32))
+        if lp.place_recognition == "bow" and self.vocab is not None:
+            return (self._scores_batch(self.bow, self.bow[rows]),
+                    lp.min_similarity_bow)
+        return (self._gdesc_scores_batch(self.db.gdesc,
+                                         self.db.gdesc[rows]),
+                lp.min_similarity)
+
+    def detect_from_scores(self, idxs, scores_all, floor) -> list:
+        """Host half of detect_many: gate + verify with already-fetched
+        scores (rows follow _pad_queries(idxs) order)."""
+        scores_all = np.asarray(scores_all)
+        return [self._gate_and_verify(int(cur), scores_all[i].copy(),
+                                      floor)
                 for i, cur in enumerate(idxs)]
 
     def _gate_and_verify(self, cur_idx: int, scores: np.ndarray,
@@ -629,9 +655,16 @@ class LoopCloser:
             loop_yaw=self.graph.loop_yaw.at[e].set(float(yaw_rel)),
             loop_w=self.graph.loop_w.at[e].set(self.W_REFINED))
 
-    def optimize(self) -> Tuple[np.ndarray, np.ndarray]:
+    def optimize(self, defer_fetch: bool = False
+                 ) -> Tuple[np.ndarray, np.ndarray]:
         """Run the 4-DoF pose graph; update db poses and drift.
-        Returns (r_drift [3,3], t_drift [3])."""
+        Returns (r_drift [3,3], t_drift [3]).
+
+        defer_fetch: skip the blocking host fetch of the drift — the
+        device copies update now and the caller folds the host sync into
+        its next combined fetch (sync_drift). Published poses then see
+        the correction one cycle late, the same latency the block
+        pipeline already has."""
         if self.n_loops == 0:
             return self.r_drift, self.t_drift
         self.n_optimizes += 1
@@ -650,9 +683,25 @@ class LoopCloser:
                 g_after.yaw, g_after.pitch, g_after.roll)
         self.db = self.db._replace(p=g_after.t, q=q_new)
         self._r_drift_dev, self._t_drift_dev = R_d, t_d
-        self.r_drift = np.asarray(R_d)
-        self.t_drift = np.asarray(t_d)
+        if defer_fetch:
+            self._drift_dirty = True
+        else:
+            self.r_drift = np.asarray(R_d)
+            self.t_drift = np.asarray(t_d)
+            self._drift_dirty = False
         return self.r_drift, self.t_drift
+
+    def sync_drift(self, r_host=None, t_host=None) -> None:
+        """Install host copies of the drift (from a caller's combined
+        fetch), or fetch eagerly if none are supplied."""
+        if not getattr(self, "_drift_dirty", False):
+            return
+        if r_host is None:
+            r_host, t_host = jax.device_get(
+                (self._r_drift_dev, self._t_drift_dev))
+        self.r_drift = np.asarray(r_host)
+        self.t_drift = np.asarray(t_host)
+        self._drift_dirty = False
 
     def global_ba(self, mesh=None, iters: int = 8,
                   max_keyframes: int = 64, max_landmarks: int = 512):

@@ -213,6 +213,7 @@ class VinsSystem:
             static_argnums=2)
         self._track_ids_host = None  # host mirror (block mode staging)
         self._stage_queue = []       # verified hits awaiting refinement
+        self._pending_detect = []    # inserted keyframes awaiting scoring
         # Backpressure: runtime LM iteration budget for streaming solves
         # (the reference scales its solver wall-clock cap 60→40→30 ms
         # with queue depth, VINS.cpp:646-653). process_stream lowers it
@@ -669,15 +670,29 @@ class VinsSystem:
 
         _t0 = _time.perf_counter()
         outs, imgs, n, ts = handle
+        # Detection scores for the PREVIOUS block's keyframes are
+        # dispatched now and ride the combined fetch below: steady-state
+        # loop detection then costs no extra round trip (each fetch on
+        # the tunneled link is ~30-70 ms and grows over the session).
+        pending_detect, self._pending_detect = self._pending_detect, []
+        if pending_detect and self.use_loop:
+            scores_dev, floor = self.loop.dispatch_scores(pending_detect)
+        else:
+            scores_dev, floor = None, 0.0
+        drift_dev = ((self.loop._r_drift_dev, self.loop._t_drift_dev)
+                     if self.use_loop else (0, 0))
         # Small per-frame leaves only (~25 KB + the [N,M,3] sparse map);
         # the keyframe-harvest leaves stay on device and feed the fused
         # insert program directly.
         (p_h, q_h, is_kf_h, is_be_h, fail_h, cost_h, ntr_h, lgood_h,
-         lrt_h, lry_h, lret_h, tid_h) = jax.device_get(
+         lrt_h, lry_h, lret_h, tid_h, scores_h, drift_h) = jax.device_get(
             (outs.p, outs.q, outs.is_keyframe, outs.is_backend,
              outs.failure, outs.solver_cost, outs.n_tracked,
              outs.loop_good, outs.loop_rel_t, outs.loop_rel_yaw,
-             outs.loop_retired, self.est.feats.track_id))
+             outs.loop_retired, self.est.feats.track_id, scores_dev,
+             drift_dev))
+        if self.use_loop:
+            self.loop.sync_drift(drift_h[0], drift_h[1])
         # Host copy of the landmark-slot track ids at this block's end:
         # loop staging joins matches against it WITHOUT a device fetch
         # (fetching self.est after the next dispatch would block on the
@@ -708,7 +723,7 @@ class VinsSystem:
                 self.loop.update_loop_edge(pl["edge"], lrt_h[g],
                                            float(lry_h[g]))
             if len(ret_idx) or fail_at is not None:
-                self.loop.optimize()
+                self.loop.optimize(defer_fetch=True)
                 self._pending_loop = None
             else:
                 # Host mirror of the device-side TTL (keeps interactive
@@ -741,19 +756,20 @@ class VinsSystem:
                 window_ids=ids_k,
                 t=float(ts[k]) if ts is not None else 0.0)))
         loop_hits = {}
-        if inserted:
-            # ONE batched detection for the whole block. (Deferring
-            # detection to overlap the next block's scan does NOT work
-            # on an in-order device: the scoring/verify dispatches queue
-            # BEHIND the in-flight scan, so their fetches eat the full
-            # scan latency anyway — measured 460 ms/block of phantom
-            # "overlap".)
-            hits = self.loop.detect_many([i for _, i in inserted])
-            for (k, _idx), hit in zip(inserted, hits):
+        if pending_detect and self.use_loop and scores_h is not None:
+            # Detection for the PREVIOUS block's keyframes with the
+            # piggybacked scores (one block of extra latency; the
+            # track-anchored constraint tolerates it). loop_hits keys
+            # are DB indices here (the source frames left this block).
+            hits = self.loop.detect_from_scores(pending_detect, scores_h,
+                                                floor)
+            for idx, hit in zip(pending_detect, hits):
                 if hit is not None:
-                    loop_hits[k] = hit.old_idx
+                    loop_hits[-1 - idx] = hit.old_idx
                     self._stage_queue.append(hit)
             self._stage_queue = self._stage_queue[-4:]
+        # This block's keyframes queue for NEXT prepare's scoring.
+        self._pending_detect = [i for _, i in inserted]
         # One constraint in flight at a time (reference retrive_pose
         # behavior): when none is pending, stage the NEWEST queued hit
         # whose matched tracks are still alive — every verified hit gets
@@ -827,8 +843,31 @@ class VinsSystem:
 
     def finalize_block(self, handle, ts=None):
         """Phase 2: prepare (sync + loop closure) and publish in one
-        call; the synchronous API drains deferred detections too."""
+        call. Loop detection for this block's keyframes is deferred to
+        the NEXT block's combined fetch (or drain_loop_work at end of
+        stream) — one round trip per block total on the tunneled link."""
         return self.publish_block(self.prepare_block(handle), ts)
+
+    def drain_loop_work(self):
+        """Complete deferred loop-closure work (end of a stream/run):
+        detect any still-pending keyframes, fold their edges with one
+        pose-graph run, finalize a pending constraint, sync drift."""
+        if not self.use_loop:
+            return
+        pending, self._pending_detect = self._pending_detect, []
+        n_hits = 0
+        if pending:
+            hits = [h for h in self.loop.detect_many(pending)
+                    if h is not None]
+            n_hits = len(hits)
+            self._stage_queue.extend(hits)
+            self._stage_queue = self._stage_queue[-4:]
+        if self._pending_loop is not None:
+            self.loop.optimize()
+            self._pending_loop = None
+        elif n_hits:
+            self.loop.optimize()
+        self.loop.sync_drift()
 
 
     def process_block(self, imgs, chunks, ts=None):
@@ -920,6 +959,8 @@ class VinsSystem:
             pending_pub = prep
             i = e
         flush_pending()
+        if self.use_loop:
+            self.drain_loop_work()
         return results
 
     def _null_output(self, t, front, status: str = "",
