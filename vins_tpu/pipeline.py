@@ -820,7 +820,8 @@ class VinsSystem:
             t = float(ts[k]) if ts is not None else 0.0
             pcl = pval = None
             if bool(prep["is_be"][k]):
-                pcl = self._drift_correct_points(pcl_h[k])
+                pcl = self._drift_correct_points(
+                    pcl_h[k].astype(np.float32))
                 pval = pok_h[k]
             results.append(PipelineOutput(
                 t=t, p=p, q=q, p_raw=p_h[k],

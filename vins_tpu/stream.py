@@ -172,9 +172,13 @@ def vio_scan_step(state: ScanState, img: jax.Array,
         loop2 = loop_in._replace(
             ttl=ttl2,
             weight=jnp.where(retired | out.failure, 0.0, loop_in.weight))
+        # Published cloud in fp16: the per-block [N,M,3] host fetch is
+        # bandwidth-bound over the tunneled link and mm-level precision
+        # is ample for the viz/AR consumers.
         return (est2, pnp2, loop2, out.pose_p, out.pose_q,
                 out.is_keyframe, out.failure, out.stats.final_cost,
-                pts_w_t, has_t & tracker.valid, out.point_cloud,
+                pts_w_t, has_t & tracker.valid,
+                out.point_cloud.astype(jnp.float16),
                 out.point_valid, out.loop_good & active, out.loop_rel_t,
                 out.loop_rel_yaw, retired)
 
@@ -183,7 +187,7 @@ def vio_scan_step(state: ScanState, img: jax.Array,
         return (est, pnp_in, loop_in, p30, q30, jnp.asarray(False),
                 jnp.asarray(False), jnp.zeros((), dtype),
                 jnp.zeros((Mw, 3), dtype), jnp.zeros((Mw,), bool),
-                jnp.zeros((M, 3), dtype), jnp.zeros((M,), bool),
+                jnp.zeros((M, 3), jnp.float16), jnp.zeros((M,), bool),
                 jnp.asarray(False), jnp.zeros((3,), dtype),
                 jnp.zeros((), dtype), jnp.asarray(False))
 
