@@ -278,6 +278,17 @@ DEVICE_PROFILES = {
     "iphone6s": CameraConfig(width=480, height=640,
                              fx=549.477, fy=549.477, cx=240.0, cy=320.0,
                              tic=(0.0, 0.065, 0.0)),
+    "iphone6sp": CameraConfig(width=480, height=640,
+                              fx=547.565, fy=547.998, cx=239.033, cy=309.452,
+                              tic=(0.0, 0.065, 0.0)),
+    # iPad Pro 9.7"/12.9" share intrinsics in the reference table
+    # (global_param.cpp:92-124); only the lever arm differs from iPhones.
+    "ipadpro97": CameraConfig(width=480, height=640,
+                              fx=547.234, fy=547.464, cx=241.549, cy=317.957,
+                              tic=(0.0, 0.092, 0.1)),
+    "ipadpro129": CameraConfig(width=480, height=640,
+                               fx=547.234, fy=547.464, cx=241.549, cy=317.957,
+                               tic=(0.0, 0.092, 0.1)),
     # EuRoC MAV cam0 (for dataset replay; values from the public EuRoC calib:
     # mav0/cam0/sensor.yaml T_BS — full R_bc, not a ypr approximation).
     "euroc": CameraConfig(width=752, height=480,

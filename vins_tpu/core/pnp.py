@@ -21,6 +21,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import VinsConfig
 from ..utils import lie
@@ -171,6 +172,19 @@ def solve_pnp_window(win: PnpWindow, cfg: VinsConfig, ext: Extrinsics,
             lambda e: _imu_local(jax.tree.map(lambda x: x[e], preints),
                                  st, e, gravity, S_all[e]))(jnp.arange(W))
 
+    # Scatter-free dense assembly: factor row blocks are CONSECUTIVE
+    # (reshape, no row scatter) and column placement is a contraction
+    # with trace-time one-hot tensors — TPU scatters serialize on the
+    # scalar core while these einsums ride the MXU/VPU.
+    T_imu = np.zeros((W, 30, D), np.float32)
+    for e in range(W):
+        T_imu[e, :, 15 * e:15 * e + 30] = np.eye(30)
+    T_imu = jnp.asarray(T_imu, dtype)
+    T_per = np.zeros((S, 6, D), np.float32)
+    for s in range(S):
+        T_per[s, :, 15 * s:15 * s + 6] = np.eye(6)
+    T_per_sel = jnp.asarray(T_per, dtype)[selF]              # [P,6,D]
+
     def build(st: PnpState):
         # IMU rows.
         r_imu, J_imu = imu_rows(st)
@@ -189,19 +203,11 @@ def solve_pnp_window(win: PnpWindow, cfg: VinsConfig, ext: Extrinsics,
         r_per = jnp.where(ok, r_per, 0.0)
         J_per = jnp.where(ok[:, :, None], J_per, 0.0)
 
-        # Dense assembly.
-        R_rows = 15 * W + 2 * P
-        J = jnp.zeros((R_rows, D), dtype)
-        r = jnp.zeros((R_rows,), dtype)
-        rows_i = 15 * jnp.arange(W)[:, None] + jnp.arange(15)[None, :]
-        cols_i = 15 * jnp.arange(W)[:, None] + jnp.arange(30)[None, :]
-        J = J.at[rows_i[:, :, None], cols_i[:, None, :]].add(J_imu)
-        r = r.at[rows_i].set(r_imu)
-        base = 15 * W
-        rows_p = base + 2 * jnp.arange(P)[:, None] + jnp.arange(2)[None, :]
-        cols_p = 15 * selF[:, None] + jnp.arange(6)[None, :]
-        J = J.at[rows_p[:, :, None], cols_p[:, None, :]].add(J_per)
-        r = r.at[rows_p].set(r_per)
+        J = jnp.concatenate([
+            jnp.einsum('eic,ecd->eid', J_imu, T_imu).reshape(15 * W, D),
+            jnp.einsum('pij,pjd->pid', J_per, T_per_sel).reshape(2 * P, D),
+        ], axis=0)
+        r = jnp.concatenate([r_imu.reshape(-1), r_per.reshape(-1)])
         return J, r
 
     def retract(st: PnpState, dx):

@@ -524,12 +524,33 @@ class LoopCloser:
         """Host half of detect_many: gate + verify with already-fetched
         scores (rows follow _pad_queries(idxs) order)."""
         scores_all = np.asarray(scores_all)
-        return [self._gate_and_verify(int(cur), scores_all[i].copy(),
-                                      floor)
-                for i, cur in enumerate(idxs)]
+        # Phase 1 — sequential host-side gating (island + temporal state
+        # must be updated in query order). Cheap numpy; no device work.
+        best_of = [self._gate(int(cur), scores_all[i].copy(), floor)
+                   for i, cur in enumerate(idxs)]
+        # Phase 2 — geometric verification for every gated candidate,
+        # dispatched async and fetched with ONE device_get: each fetch
+        # over the tunneled link is a full round trip, and several
+        # queries per block can pass the gate (was: one fetch per
+        # candidate, measured at ~70 ms each on the sync critical path).
+        pend = []
+        for cur, best in zip(idxs, best_of):
+            if best is None:
+                pend.append(None)
+                continue
+            pend.append(self._dispatch_verify(int(cur), best))
+        fetched = jax.device_get([d for d in pend if d is not None])
+        out, j = [], 0
+        for cur, best, d in zip(idxs, best_of, pend):
+            if d is None:
+                out.append(None)
+                continue
+            out.append(self._finish_verify(int(cur), best, fetched[j]))
+            j += 1
+        return out
 
-    def _gate_and_verify(self, cur_idx: int, scores: np.ndarray,
-                         floor: float) -> Optional[LoopHit]:
+    def _gate(self, cur_idx: int, scores: np.ndarray,
+              floor: float) -> Optional[int]:
         lp = self.cfg.loop
         n = self.count
         if cur_idx < 1 or n <= lp.dislocal:
@@ -566,23 +587,32 @@ class LoopCloser:
         self.last_match = best
         if lp.temporal_k > 0 and not consistent:
             return None
+        return best
 
-        # Geometric verification + relative pose + hit-data gather: ONE
-        # fused program, one fetch. Explicit dtypes so the runtime avals
-        # match the warm()-compiled signatures (weak-typed scalars would
-        # miss the in-process jit cache and re-trace on the first hit).
+    def _dispatch_verify(self, cur_idx: int, best: int):
+        """Async half of geometric verification + relative pose +
+        hit-data gather: ONE fused program; returns DEVICE handles.
+        Explicit dtypes so the runtime avals match the warm()-compiled
+        signatures (weak-typed scalars would miss the in-process jit
+        cache and re-trace on the first hit)."""
+        lp = self.cfg.loop
         self.key, sub = jax.random.split(self.key)
+        return _verify_hit(
+            self.db, jnp.asarray(cur_idx, jnp.int32),
+            jnp.asarray(best, jnp.int32), sub, self.tic, self.qic,
+            max_dist=lp.match_max_dist, ratio=lp.match_ratio,
+            hyps=lp.geo_ransac_hyps,
+            thresh_sq=jnp.asarray(
+                (lp.geo_ransac_px / self.cfg.camera.focal) ** 2,
+                jnp.float32),
+            max_msr=jnp.asarray(lp.pnp_max_msr, jnp.float32))
+
+    def _finish_verify(self, cur_idx: int, best: int,
+                       fetched) -> Optional[LoopHit]:
+        """Host half: thresholds + LoopHit assembly + pose-graph edge."""
+        lp = self.cfg.loop
         (n_in, t_rel, yaw_rel, good, msr, p_old, q_old, pts_w_cur,
-         obs_old_g, match_ok_g, p_cur, q_cur, tid_cur) = jax.device_get(
-            _verify_hit(
-                self.db, jnp.asarray(cur_idx, jnp.int32),
-                jnp.asarray(best, jnp.int32), sub, self.tic, self.qic,
-                max_dist=lp.match_max_dist, ratio=lp.match_ratio,
-                hyps=lp.geo_ransac_hyps,
-                thresh_sq=jnp.asarray(
-                    (lp.geo_ransac_px / self.cfg.camera.focal) ** 2,
-                    jnp.float32),
-                max_msr=jnp.asarray(lp.pnp_max_msr, jnp.float32)))
+         obs_old_g, match_ok_g, p_cur, q_cur, tid_cur) = fetched
         if int(n_in) < lp.min_loop_matches:
             return None
         if not bool(good):

@@ -214,6 +214,8 @@ class VinsSystem:
         self._track_ids_host = None  # host mirror (block mode staging)
         self._stage_queue = []       # verified hits awaiting refinement
         self._pending_detect = []    # inserted keyframes awaiting scoring
+        self._pending_scores = None  # (scores_dev, floor) pre-dispatched
+        self._needs_optimize = False  # pose-graph run deferred to overlap
         # Backpressure: runtime LM iteration budget for streaming solves
         # (the reference scales its solver wall-clock cap 60→40→30 ms
         # with queue depth, VINS.cpp:646-653). process_stream lowers it
@@ -659,24 +661,35 @@ class VinsSystem:
         self.timings["blocks"] = self.timings.get("blocks", 0) + 1
         return (outs, imgs, n, ts)
 
-    def prepare_block(self, handle):
+    def sync_block(self, handle):
         """Phase 2a (synchronizes on the block's device scan): fetch the
         per-frame leaves, run the loop-edge lifecycle (refined-edge
         update + retirement-time pose graph, mirroring the interactive
-        path), insert + detect keyframes, and stage any new loop
-        constraint for the NEXT dispatch. Returns an opaque prep object
-        for publish_block."""
+        path), detect the PREVIOUS block's keyframes from their
+        (pre-dispatched) scores, and stage any new loop constraint for
+        the NEXT dispatch. Keyframe INSERTION for this block is NOT done
+        here — call insert_block_keyframes (process_stream does so after
+        the next dispatch, so the insert programs and host work overlap
+        the next scan instead of idling the device). Returns an opaque
+        prep object for insert_block_keyframes/publish_block."""
         import time as _time
 
         _t0 = _time.perf_counter()
         outs, imgs, n, ts = handle
-        # Detection scores for the PREVIOUS block's keyframes are
-        # dispatched now and ride the combined fetch below: steady-state
-        # loop detection then costs no extra round trip (each fetch on
-        # the tunneled link is ~30-70 ms and grows over the session).
+        # Detection scores for the PREVIOUS block's keyframes ride the
+        # combined fetch below: steady-state loop detection then costs
+        # no extra round trip (each fetch on the tunneled link is
+        # ~30-70 ms and grows over the session). process_stream
+        # pre-dispatches the score programs right after inserting those
+        # keyframes (inside the previous overlap window); the sync API
+        # (prepare_block) lands here with no pre-dispatch and pays the
+        # dispatch now.
         pending_detect, self._pending_detect = self._pending_detect, []
+        pending_scores, self._pending_scores = self._pending_scores, None
         if pending_detect and self.use_loop:
-            scores_dev, floor = self.loop.dispatch_scores(pending_detect)
+            if pending_scores is None:
+                pending_scores = self.loop.dispatch_scores(pending_detect)
+            scores_dev, floor = pending_scores
         else:
             scores_dev, floor = None, 0.0
         drift_dev = ((self.loop._r_drift_dev, self.loop._t_drift_dev)
@@ -685,12 +698,13 @@ class VinsSystem:
         # the keyframe-harvest leaves stay on device and feed the fused
         # insert program directly.
         (p_h, q_h, is_kf_h, is_be_h, fail_h, cost_h, ntr_h, lgood_h,
-         lrt_h, lry_h, lret_h, tid_h, scores_h, drift_h) = jax.device_get(
+         lrt_h, lry_h, lret_h, tid_h, scores_h, drift_h,
+         pcl_h, pok_h) = jax.device_get(
             (outs.p, outs.q, outs.is_keyframe, outs.is_backend,
              outs.failure, outs.solver_cost, outs.n_tracked,
              outs.loop_good, outs.loop_rel_t, outs.loop_rel_yaw,
              outs.loop_retired, self.est.feats.track_id, scores_dev,
-             drift_dev))
+             drift_dev, outs.point_cloud, outs.point_valid))
         if self.use_loop:
             self.loop.sync_drift(drift_h[0], drift_h[1])
         # Host copy of the landmark-slot track ids at this block's end:
@@ -723,38 +737,19 @@ class VinsSystem:
                 self.loop.update_loop_edge(pl["edge"], lrt_h[g],
                                            float(lry_h[g]))
             if len(ret_idx) or fail_at is not None:
-                self.loop.optimize(defer_fetch=True)
+                # The pose-graph run itself is DEFERRED to the next
+                # overlap window (insert_block_keyframes): its program
+                # dispatch + device time would otherwise sit in the
+                # device-idle gap between scans. Drift visibility is
+                # unchanged — the host drift mirror already syncs one
+                # combined fetch later either way.
+                self._needs_optimize = True
                 self._pending_loop = None
             else:
                 # Host mirror of the device-side TTL (keeps interactive
                 # mode consistent after a mode switch).
                 pl["ttl"] -= int(np.sum(is_be_h[:n_ok]))
 
-        # Keyframe insertion (async device dispatches) + detection split
-        # by STAGEABILITY: only a keyframe whose window slot survives to
-        # the block end can have its constraint injected into the next
-        # block's solves (one block of latency — the reference's async
-        # loop thread feeding retrive_pose_data, VINS.cpp:571-637), so
-        # only those (usually the last 1-2 keyframes) are detected on
-        # the serial path before the next dispatch; the rest are
-        # deferred and detected WHILE the next block runs on-device —
-        # their hits can only ever yield one-shot pose-graph edges.
-        inserted = []
-        for k in range(n_ok):
-            if not (self.use_loop and bool(is_kf_h[k])):
-                continue
-            self.kf_count += 1
-            if self.kf_count % self.cfg.loop.loop_freq != 0:
-                continue
-            (img_k, p_k, q_k, px_k, v_k, w_k, wok_k, ids_k) = \
-                self._take_frame(
-                    (imgs, outs.p, outs.q, outs.kf_pts_px, outs.kf_valid,
-                     outs.kf_pts_w, outs.kf_w_ok, outs.kf_ids),
-                    jnp.asarray(k, jnp.int32))
-            inserted.append((k, self.loop.add_keyframe(
-                img_k, p_k, q_k, px_k, v_k, w_k, wok_k,
-                window_ids=ids_k,
-                t=float(ts[k]) if ts is not None else 0.0)))
         loop_hits = {}
         if pending_detect and self.use_loop and scores_h is not None:
             # Detection for the PREVIOUS block's keyframes with the
@@ -768,8 +763,6 @@ class VinsSystem:
                     loop_hits[-1 - idx] = hit.old_idx
                     self._stage_queue.append(hit)
             self._stage_queue = self._stage_queue[-4:]
-        # This block's keyframes queue for NEXT prepare's scoring.
-        self._pending_detect = [i for _, i in inserted]
         # One constraint in flight at a time (reference retrive_pose
         # behavior): when none is pending, stage the NEWEST queued hit
         # whose matched tracks are still alive — every verified hit gets
@@ -794,9 +787,51 @@ class VinsSystem:
 
         self.timings["prepare_loop"] = self.timings.get("prepare_loop", 0) + _time.perf_counter() - _t1
         self.timings["prepare"] = self.timings.get("prepare", 0) + _time.perf_counter() - _t0
-        return dict(outs=outs, n=n, n_ok=n_ok, fail_at=fail_at,
+        return dict(outs=outs, imgs=imgs, n=n, n_ok=n_ok, fail_at=fail_at,
                     p=p_h, q=q_h, is_kf=is_kf_h, is_be=is_be_h,
-                    cost=cost_h, ntr=ntr_h, loop_hits=loop_hits, ts=ts)
+                    cost=cost_h, ntr=ntr_h, loop_hits=loop_hits, ts=ts,
+                    pcl=pcl_h, pok=pok_h)
+
+    def insert_block_keyframes(self, prep):
+        """Phase 2b (async device dispatches; process_stream runs this
+        AFTER dispatching the next block so the insert + scoring
+        programs and their host dispatch overhead overlap the next scan
+        instead of idling the device): insert this block's keyframes
+        into the loop database and pre-dispatch their detection scores.
+        The scores ride the NEXT sync_block's combined fetch — one block
+        of detection latency, exactly the reference's async loop thread
+        feeding retrive_pose_data (VINS.cpp:571-637)."""
+        import time as _time
+
+        if not self.use_loop:
+            return
+        _t0 = _time.perf_counter()
+        if self._needs_optimize:
+            self.loop.optimize(defer_fetch=True)
+            self._needs_optimize = False
+        outs, imgs, ts = prep["outs"], prep["imgs"], prep["ts"]
+        is_kf_h = prep["is_kf"]
+        inserted = []
+        for k in range(prep["n_ok"]):
+            if not bool(is_kf_h[k]):
+                continue
+            self.kf_count += 1
+            if self.kf_count % self.cfg.loop.loop_freq != 0:
+                continue
+            (img_k, p_k, q_k, px_k, v_k, w_k, wok_k, ids_k) = \
+                self._take_frame(
+                    (imgs, outs.p, outs.q, outs.kf_pts_px, outs.kf_valid,
+                     outs.kf_pts_w, outs.kf_w_ok, outs.kf_ids),
+                    jnp.asarray(k, jnp.int32))
+            inserted.append(self.loop.add_keyframe(
+                img_k, p_k, q_k, px_k, v_k, w_k, wok_k,
+                window_ids=ids_k,
+                t=float(ts[k]) if ts is not None else 0.0))
+        # This block's keyframes queue for the NEXT sync's scoring.
+        self._pending_detect = inserted
+        if inserted:
+            self._pending_scores = self.loop.dispatch_scores(inserted)
+        self.timings["insert"] = self.timings.get("insert", 0) + _time.perf_counter() - _t0
 
     def publish_block(self, prep, ts=None):
         """Phase 2b (pure host work, overlappable with the next block's
@@ -811,7 +846,10 @@ class VinsSystem:
         outs = prep["outs"]
         n_ok, fail_at = prep["n_ok"], prep["fail_at"]
         p_h, q_h = prep["p"], prep["q"]
-        pcl_h, pok_h = jax.device_get((outs.point_cloud, outs.point_valid))
+        # The sparse-map leaves ride sync_block's combined fetch (a
+        # separate fetch here sat on the stream's critical path for a
+        # full scan-length over the tunneled link).
+        pcl_h, pok_h = prep["pcl"], prep["pok"]
         self.timings["publish_fetch"] = self.timings.get("publish_fetch", 0) + _time.perf_counter() - _t0
 
         results = []
@@ -842,6 +880,14 @@ class VinsSystem:
         self.timings["publish"] = self.timings.get("publish", 0) + _time.perf_counter() - _t0
         return results
 
+    def prepare_block(self, handle):
+        """Synchronous phase 2a: sync + keyframe insertion in one call
+        (the streaming loop calls sync_block and insert_block_keyframes
+        separately to overlap the inserts with the next scan)."""
+        prep = self.sync_block(handle)
+        self.insert_block_keyframes(prep)
+        return prep
+
     def finalize_block(self, handle, ts=None):
         """Phase 2: prepare (sync + loop closure) and publish in one
         call. Loop detection for this block's keyframes is deferred to
@@ -856,6 +902,7 @@ class VinsSystem:
         if not self.use_loop:
             return
         pending, self._pending_detect = self._pending_detect, []
+        self._pending_scores = None  # detect_many re-scores below
         n_hits = 0
         if pending:
             hits = [h for h in self.loop.detect_many(pending)
@@ -866,8 +913,9 @@ class VinsSystem:
         if self._pending_loop is not None:
             self.loop.optimize()
             self._pending_loop = None
-        elif n_hits:
+        elif n_hits or self._needs_optimize:
             self.loop.optimize()
+        self._needs_optimize = False
         self.loop.sync_drift()
 
 
@@ -897,7 +945,7 @@ class VinsSystem:
         n = int(imgs.shape[0])
         results = []
         i = 0
-        pending_pub = None
+        pending_post = None
 
         # Block slicing via ONE jitted dynamic-slice program (traced
         # start index): eager `x[i:e]` on a staged device array compiles
@@ -908,16 +956,23 @@ class VinsSystem:
                 return x[s:e]
             return self._slice_block(x, jnp.asarray(s, jnp.int32), e - s)
 
-        def flush_pending():
-            nonlocal pending_pub
-            if pending_pub is not None:
-                results.extend(self.publish_block(pending_pub))
-                pending_pub = None
+        def flush_post():
+            # Deferred phase-2 work for the previous block: keyframe
+            # inserts (+ score pre-dispatch) and host-side publication.
+            # In the steady-state loop this runs right after the next
+            # dispatch, so all of it overlaps the in-flight scan; the
+            # only host work left between a scan finishing and the next
+            # dispatch is sync_block's fetch + staging decision.
+            nonlocal pending_post
+            if pending_post is not None:
+                self.insert_block_keyframes(pending_post)
+                results.extend(self.publish_block(pending_post))
+                pending_post = None
 
         while i < n:
             # INITIAL (bootstrap or failure recovery): interactive frames.
             if not self.initialized:
-                flush_pending()
+                flush_post()
                 out = self.process_frame(
                     block_of(imgs, i, i + 1)[0],
                     jax.tree.map(lambda x: block_of(x, i, i + 1)[0],
@@ -934,8 +989,8 @@ class VinsSystem:
             _tb = _time.perf_counter()
             handle = self.dispatch_block(
                 im_b, ch_b, ts=ts[i:e] if ts is not None else None)
-            flush_pending()  # overlaps block [i:e)'s device scan
-            prep = self.prepare_block(handle)
+            flush_post()  # overlaps block [i:e)'s device scan
+            prep = self.sync_block(handle)
             # Backpressure (VINS.cpp:646-653 analog), REAL-TIME mode
             # only (offline replay has no arrival deadline): compare the
             # block's wall time to its real-time span and scale the
@@ -954,12 +1009,13 @@ class VinsSystem:
                 # Publish the good prefix + the failure marker, then
                 # reprocess the tail through the interactive path (the
                 # estimator was frozen from the failure frame on).
+                self.insert_block_keyframes(prep)
                 results.extend(self.publish_block(prep))
                 i += prep["fail_at"] + 1
                 continue
-            pending_pub = prep
+            pending_post = prep
             i = e
-        flush_pending()
+        flush_post()
         if self.use_loop:
             self.drain_loop_work()
         return results
