@@ -116,9 +116,17 @@ def main():
     t("imu rows 6x jacfwd30 (1x)", imu_only)
 
     def topk_only(w):
+        # Mirrors solve_pnp_window's compaction score exactly (newest
+        # frame first, weight/free gating, w_act*2n - arange) so the
+        # isolated top_k matches the real kernel's distribution.
         n = S * Mp
-        score = w.feats.mask.reshape(-1).astype(jnp.float32) * n \
-            - jnp.arange(n, dtype=jnp.float32)
+        fgrid = jnp.repeat(jnp.arange(S - 1, -1, -1, dtype=jnp.int32), Mp)
+        mgrid = jnp.tile(jnp.arange(Mp, dtype=jnp.int32), S)
+        free = (~w.anchored).astype(jnp.float32)
+        w_act = (w.feats.mask[fgrid, mgrid]
+                 & (w.feats.weight[mgrid] > 0)
+                 & (free[fgrid] > 0)).astype(jnp.float32)
+        score = w_act * (2.0 * n) - jnp.arange(n, dtype=jnp.float32)
         _, order = jax.lax.top_k(score, P)
         return jnp.sum(order)
     t("top_k select (1x)", topk_only)

@@ -125,6 +125,20 @@ class SolverConfig:
     # frames) before linearization — the grid is >80% padding.
     pnp_iters: int = 3
     pnp_max_factors: int = 448
+    # Streaming-scan policy for the motion-only solve:
+    #   "all"        — solve every frame (reference USE_PNP parity);
+    #   "nonbackend" — skip the solve on backend frames (their published
+    #                  pose is the backend's and the pnp window is
+    #                  re-anchored right after — the solve is dead work);
+    #   "deadreckon" — never solve in the scan; publish IMU dead-reckoned
+    #                  poses between backend anchors. In the fused scan
+    #                  the anchor is at most freq-1 frames (~66 ms) old,
+    #                  so double-integration error is sub-mm — the 30 Hz
+    #                  refinement the reference needs against its ~100 ms
+    #                  backend latency (vins_pnp.cpp:264-341) is
+    #                  redundant here. Gated by the per-round accuracy
+    #                  artifact (ACCURACY_r*.json).
+    pnp_stream_solve: str = "nonbackend"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,6 +157,11 @@ class FrontendConfig:
     clahe_clip: float = 3.0          # CLAHE clip limit (ViewController.mm:439)
     clahe_grid: int = 8
     min_track_for_stable: int = 2
+    # Streaming scan: detect replacement corners every frame (True) or
+    # only on backend frames (False — the reference's cadence,
+    # feature_tracker.cpp:231-307). Per-frame costs ~0.5 ms/frame extra
+    # in the scan; gate it off only if ATE holds (see ACCURACY_r*.json).
+    topup_every_frame: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

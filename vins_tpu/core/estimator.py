@@ -221,16 +221,24 @@ def _failure_detection(prev: WindowState, cur: WindowState,
 def landmark_world_points(window: WindowState, feats: FeatureTable,
                           ext: Extrinsics):
     """[M,3] world positions of current landmarks (update_loop_correction /
-    point-cloud publishing, VINS.cpp:307-331)."""
+    point-cloud publishing, VINS.cpp:307-331).
+
+    Slots without a usable depth (invalid or inv_depth <= 1e-3) are
+    zeroed: the raw division would place them ~1e6 units out, which
+    overflows the fp16 publication cast to inf and poisons any consumer
+    that forgets the validity mask (the reference only ever publishes
+    triangulated points, VINS.cpp:313-324)."""
     M = feats.track_id.shape[0]
+    ok = feats.valid & (window.inv_depth > 1e-3)
     pt_anchor = jnp.concatenate(
         [jnp.take_along_axis(feats.obs, feats.anchor[None, :, None], axis=0)[0],
          jnp.ones((M, 1), feats.obs.dtype)], axis=-1)
-    pt_anchor = pt_anchor / jnp.maximum(window.inv_depth[:, None], 1e-6)
+    pt_anchor = pt_anchor / jnp.maximum(window.inv_depth[:, None], 1e-3)
     q_a = window.q[feats.anchor]
     p_a = window.p[feats.anchor]
     pt_imu = lie.quat_rotate(ext.qic, pt_anchor) + ext.tic
-    return lie.quat_rotate(q_a, pt_imu) + p_a
+    pts = lie.quat_rotate(q_a, pt_imu) + p_a
+    return jnp.where(ok[:, None], pts, 0.0)
 
 
 def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
@@ -373,7 +381,9 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
     out = BackendOutput(
         pose_p=solved.p[F - 1], pose_q=solved.q[F - 1], vel=solved.v[F - 1],
         is_keyframe=is_kf, parallax_px=par_px, failure=fail, stats=stats,
-        point_cloud=pts_w, point_valid=feats.valid & feats.mask[F - 1],
+        point_cloud=pts_w,
+        point_valid=(feats.valid & feats.mask[F - 1]
+                     & (solved.inv_depth > 1e-3)),
         loop_rel_t=loop_rel_t, loop_rel_yaw=loop_rel_yaw,
         loop_good=loop_good,
         loop_support=jnp.asarray(n_loop, jnp.int32))

@@ -248,12 +248,17 @@ def solve_pnp_window(win: PnpWindow, cfg: VinsConfig, ext: Extrinsics,
 
 def pnp_step(win: PnpWindow, chunk: pre_mod.ImuChunk,
              obs: jax.Array, obs_mask: jax.Array,
-             cfg: VinsConfig, ext: Extrinsics, gravity: jax.Array
+             cfg: VinsConfig, ext: Extrinsics, gravity: jax.Array,
+             do_solve=True
              ) -> Tuple[PnpWindow, Tuple[jax.Array, jax.Array, jax.Array]]:
     """One camera frame at full rate: slide, ingest, dead-reckon, solve.
 
     obs/obs_mask: [Mp] observations of the CURRENT backend landmark set
     (same slot order as win.feats.pts_w).
+    do_solve: bool or traced scalar — when False the LM solve is skipped
+    and the dead-reckoned state is returned (the streaming scan skips the
+    solve on backend frames, whose published pose is the backend's and
+    whose pnp window is immediately re-anchored).
     Returns (window, (p, q, v)) — the 30 Hz pose output.
     """
     S = win.state.p.shape[0]
@@ -296,7 +301,14 @@ def pnp_step(win: PnpWindow, chunk: pre_mod.ImuChunk,
 
     win2 = PnpWindow(state=st, feats=feats, chunks=chunks,
                      anchored=anchored, preints=preints)
-    solved, cost = solve_pnp_window(win2, cfg, ext, gravity)
+    if isinstance(do_solve, bool):
+        solved = (solve_pnp_window(win2, cfg, ext, gravity)[0]
+                  if do_solve else win2.state)
+    else:
+        solved = jax.lax.cond(
+            do_solve,
+            lambda w: solve_pnp_window(w, cfg, ext, gravity)[0],
+            lambda w: w.state, win2)
     win2 = win2._replace(state=solved)
     return win2, (solved.p[W], solved.q[W], solved.v[W])
 

@@ -29,6 +29,11 @@ from ..ops import ransac as ransac_mod
 
 class TrackerState(NamedTuple):
     pyr: Tuple[jax.Array, ...]   # previous frame pyramid (static tuple)
+    # Previous frame's per-level (gx, gy) Scharr gradients: cached so the
+    # forward LK pass never recomputes them (each frame's gradients are
+    # computed once — when it enters as the CURRENT frame) and the
+    # streaming scan can feed block-precomputed gradients.
+    grads: Tuple[Tuple[jax.Array, jax.Array], ...]
     pts: jax.Array               # [M, 2] pixel positions
     ids: jax.Array               # [M] int32 (-1 free)
     track_cnt: jax.Array         # [M] frames tracked
@@ -51,10 +56,16 @@ def _empty_pyramid(cfg: VinsConfig):
                  for l in range(cfg.frontend.pyramid_levels))
 
 
+def _empty_grads(cfg: VinsConfig):
+    return tuple((jnp.zeros_like(p), jnp.zeros_like(p))
+                 for p in _empty_pyramid(cfg))
+
+
 def fresh_state(cfg: VinsConfig, seed: int = 0) -> TrackerState:
     M = cfg.frontend.max_features
     return TrackerState(
         pyr=_empty_pyramid(cfg),
+        grads=_empty_grads(cfg),
         pts=jnp.zeros((M, 2), jnp.float32),
         ids=jnp.full((M,), -1, jnp.int32),
         track_cnt=jnp.zeros((M,), jnp.int32),
@@ -101,6 +112,7 @@ def init_step(state: TrackerState, img: jax.Array,
     fe = cfg.frontend
     img_eq = image_mod.clahe(img, fe.clahe_clip, fe.clahe_grid)
     pyr = tuple(image_mod.build_pyramid(img_eq, fe.pyramid_levels))
+    grads = tuple(image_mod.sobel_gradients(p) for p in pyr)
     M = fe.max_features
     pts = jnp.zeros((M, 2), jnp.float32)
     ids = jnp.full((M,), -1, jnp.int32)
@@ -108,8 +120,9 @@ def init_step(state: TrackerState, img: jax.Array,
     valid = jnp.zeros((M,), bool)
     pts, ids, cnt, valid, next_id = _top_up(
         pts, ids, cnt, valid, state.next_id, img_eq, cfg)
-    new_state = TrackerState(pyr=pyr, pts=pts, ids=ids, track_cnt=cnt,
-                             valid=valid, next_id=next_id, key=state.key)
+    new_state = TrackerState(pyr=pyr, grads=grads, pts=pts, ids=ids,
+                             track_cnt=cnt, valid=valid, next_id=next_id,
+                             key=state.key)
     out = _make_output(new_state, cfg)
     return new_state, out
 
@@ -126,17 +139,33 @@ def track_step(state: TrackerState, img: jax.Array, cfg: VinsConfig,
                do_topup=True) -> Tuple[TrackerState, FrontendOutput]:
     """Track the previous features into `img`, cull, top-up.
 
+    Per-frame image prep (CLAHE, pyramid, gradients) is computed here;
+    the streaming scan precomputes it for a whole block in one batched
+    program and calls track_step_pre instead."""
+    fe = cfg.frontend
+    img_eq = image_mod.clahe(img, fe.clahe_clip, fe.clahe_grid)
+    pyr = tuple(image_mod.build_pyramid(img_eq, fe.pyramid_levels))
+    grads = tuple(image_mod.sobel_gradients(p) for p in pyr)
+    return track_step_pre(state, pyr, grads, cfg, do_topup)
+
+
+def track_step_pre(state: TrackerState, pyr, grads, cfg: VinsConfig,
+                   do_topup=True) -> Tuple[TrackerState, FrontendOutput]:
+    """track_step with the frame's image prep (pyramid + gradients)
+    already computed — the scan path feeds block-precomputed prep.
+
     do_topup: detect replacement corners only when set (bool or traced
     scalar). The reference tops up only every FREQ-th frame — the frames
     handed to the backend (feature_tracker.cpp:231-307, img_cnt==0) —
     and the Shi-Tomasi sweep is ~20% of the per-frame front-end cost, so
     the streaming scan gates it on the backend cadence."""
     fe = cfg.frontend
-    img_eq = image_mod.clahe(img, fe.clahe_clip, fe.clahe_grid)
-    pyr = tuple(image_mod.build_pyramid(img_eq, fe.pyramid_levels))
+    img_eq = pyr[0]
 
     res = klt_mod.track_pyramid_fb(list(state.pyr), list(pyr), state.pts,
-                                   state.valid, fe)
+                                   state.valid, fe,
+                                   grads_prev=list(state.grads),
+                                   grads_next=list(grads))
     valid = res.status
 
     # Fundamental-RANSAC outlier rejection on normalized coords
@@ -165,8 +194,9 @@ def track_step(state: TrackerState, img: jax.Array, cfg: VinsConfig,
             lambda a: a,
             (res.pts, ids, cnt, valid, state.next_id))
 
-    new_state = TrackerState(pyr=pyr, pts=pts, ids=ids, track_cnt=cnt,
-                             valid=valid2, next_id=next_id, key=key)
+    new_state = TrackerState(pyr=tuple(pyr), grads=tuple(grads), pts=pts,
+                             ids=ids, track_cnt=cnt, valid=valid2,
+                             next_id=next_id, key=key)
     return new_state, _make_output(new_state, cfg)
 
 

@@ -792,6 +792,21 @@ class LoopCloser:
         (ViewController.mm:771-781)."""
         self.segment += 1
 
+    def trajectory(self):
+        """Pose-graph-corrected keyframe trajectory for consumers
+        (t [K], p [K,3], q [K,4] host arrays) — the artifact an AR/viz
+        consumer replays after loop closure (the reference re-publishes
+        the whole corrected keyframe path in updateVisualization,
+        keyfame_database.cpp:358). One combined fetch of the corrected
+        DB columns."""
+        n = self.count
+        if n == 0:
+            z = np.zeros((0, 3), np.float32)
+            return (np.zeros(0, np.float64), z,
+                    np.zeros((0, 4), np.float32))
+        p, q = jax.device_get((self.db.p, self.db.q))
+        return self._kf_t_np[:n].copy(), p[:n], q[:n]
+
     # -- capacity ----------------------------------------------------------
 
     def resample(self):

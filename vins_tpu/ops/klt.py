@@ -107,14 +107,19 @@ def _track_level(img_prev: jax.Array, gx: jax.Array, gy: jax.Array,
 def track_pyramid(pyr_prev: List[jax.Array], pyr_next: List[jax.Array],
                   pts_prev: jax.Array, valid: jax.Array,
                   cfg: FrontendConfig,
-                  init_flow: jax.Array | None = None) -> KltResult:
+                  init_flow: jax.Array | None = None,
+                  grads_prev=None) -> KltResult:
     """Track [M,2] level-0 points from prev to next across the pyramid.
 
     init_flow: optional [M,2] level-0 flow prior (e.g. IMU-predicted or the
-    negated forward flow for a backward consistency pass)."""
+    negated forward flow for a backward consistency pass).
+    grads_prev: optional precomputed [(gx, gy)] per level of pyr_prev —
+    the tracker caches each frame's gradients so consecutive steps (and
+    the fwd/bwd passes) never recompute them."""
     L = len(pyr_prev)
     dtype = pts_prev.dtype
-    grads = [sobel_gradients(p) for p in pyr_prev]
+    grads = (grads_prev if grads_prev is not None
+             else [sobel_gradients(p) for p in pyr_prev])
 
     if _on_tpu():
         # One kernel launch for the whole pyramid (ops/klt_pallas.py):
@@ -152,7 +157,8 @@ def track_pyramid(pyr_prev: List[jax.Array], pyr_next: List[jax.Array],
 def track_pyramid_fb(pyr_prev: List[jax.Array], pyr_next: List[jax.Array],
                      pts_prev: jax.Array, valid: jax.Array,
                      cfg: FrontendConfig,
-                     fb_thresh: float = 0.3) -> KltResult:
+                     fb_thresh: float = 0.3,
+                     grads_prev=None, grads_next=None) -> KltResult:
     """Forward–backward consistency-checked tracking.
 
     Tracks prev→next, then next→prev, and keeps only tracks whose
@@ -162,7 +168,8 @@ def track_pyramid_fb(pyr_prev: List[jax.Array], pyr_next: List[jax.Array],
     (feature_tracker.cpp:183-205); RANSAC still runs downstream for
     epipolar outliers.
     """
-    fwd = track_pyramid(pyr_prev, pyr_next, pts_prev, valid, cfg)
+    fwd = track_pyramid(pyr_prev, pyr_next, pts_prev, valid, cfg,
+                        grads_prev=grads_prev)
     # Backward pass seeded with the negated forward flow: the test is
     # whether the *local* refinement holds up in reverse, not whether the
     # coarse pyramid re-finds the basin (self-similar scenes would alias).
@@ -171,7 +178,8 @@ def track_pyramid_fb(pyr_prev: List[jax.Array], pyr_next: List[jax.Array],
     # initialization on low-excitation sequences — keep full-pyramid
     # symmetry; the per-feature early-exit already bounds iteration cost.
     bwd = track_pyramid(pyr_next, pyr_prev, fwd.pts, fwd.status, cfg,
-                        init_flow=pts_prev - fwd.pts)
+                        init_flow=pts_prev - fwd.pts,
+                        grads_prev=grads_next)
     rt = jnp.linalg.norm(bwd.pts - pts_prev, axis=-1)
     # Zero-mean NCC of template vs matched patch: contrast-invariant
     # mismatch detector (catches symmetric false locks FB can miss).

@@ -110,10 +110,14 @@ def _klt_kernel(pts_ref, guess_ref, valid_ref,
         return (it + 1, fx_ + dx, fy_ + dy, jnp.mean(jnp.abs(diff)),
                 dx * dx + dy * dy)
 
+    # Dead slots (invalid input or degenerate template) skip the
+    # iteration loop entirely: ~45% of the padded feature slots are
+    # free in steady state and the scalar loop is the kernel's critical
+    # path.
     _, fx_, fy_, err, _ = jax.lax.while_loop(
         cond, body, (jnp.zeros((), jnp.int32), g0x, g0y,
                      jnp.zeros((), t.dtype),
-                     jnp.full((), jnp.inf, t.dtype)))
+                     jnp.where(ok, jnp.inf, 0.0).astype(t.dtype)))
     flow_ref[i, 0] = fx_
     flow_ref[i, 1] = fy_
     ok_ref[i, 0] = ok.astype(jnp.int32)
@@ -247,10 +251,12 @@ def _klt_pyramid_kernel(pts_ref, guess_ref, valid_ref, *refs,
             return (it + 1, fx_i + dx, fy_i + dy, jnp.mean(jnp.abs(diff)),
                     dx * dx + dy * dy)
 
+        # Dead slots skip the level's iteration loop (see _klt_kernel).
         _, fx_, fy_, err, _ = jax.lax.while_loop(
             cond, body, (jnp.zeros((), jnp.int32), fx_, fy_,
                          jnp.zeros((), jnp.float32),
-                         jnp.full((), jnp.inf, jnp.float32)))
+                         jnp.where(ok, jnp.float32(jnp.inf),
+                                   jnp.float32(0.0))))
         if lvl > 0:
             fx_ = fx_ * 2.0
             fy_ = fy_ * 2.0

@@ -228,8 +228,8 @@ class VinsSystem:
         # cumulative): dispatch = async enqueue cost, prepare = device
         # sync + host loop-closure work, publish = host output assembly.
         self.timings = {"dispatch": 0.0, "prepare": 0.0, "publish": 0.0,
-                        "prepare_fetch": 0.0, "prepare_loop": 0.0,
-                        "publish_fetch": 0.0, "stream_slice": 0.0,
+                        "scan_wait": 0.0, "fetch_wire": 0.0,
+                        "prepare_loop": 0.0, "stream_slice": 0.0,
                         "blocks": 0}
 
         self.reset()
@@ -560,19 +560,20 @@ class VinsSystem:
         block's mirror so staging never syncs on an in-flight scan);
         returns False when fewer than 10 matches resolve to live
         slots."""
-        M = self.cfg.window.max_landmarks
         if slot_ids is None:   # interactive path: est is already synced
             slot_ids = np.asarray(jax.device_get(self.est.feats.track_id))
-        ok_rows = np.asarray(hit.match_ok)
-        id2row = {int(tid): r for r, tid in enumerate(hit.tids)
-                  if ok_rows[r] and tid >= 0}
-        obs_by_slot = np.zeros((M, 2), np.float32)
-        ok_by_slot = np.zeros((M,), bool)
-        for m, tid in enumerate(slot_ids):
-            r = id2row.get(int(tid))
-            if r is not None:
-                obs_by_slot[m] = hit.obs_old[r]
-                ok_by_slot[m] = True
+        # Vectorized slot join (was a per-slot Python dict loop on the
+        # critical path): match every live landmark slot to a verified
+        # old-keyframe observation row by track id.
+        tids = np.asarray(hit.tids)
+        ok_rows = np.asarray(hit.match_ok) & (tids >= 0)
+        eq = ((slot_ids[:, None] == tids[None, :])
+              & ok_rows[None, :] & (slot_ids[:, None] >= 0))
+        ok_by_slot = eq.any(axis=1)
+        row = eq.argmax(axis=1)
+        obs_by_slot = np.where(ok_by_slot[:, None],
+                               np.asarray(hit.obs_old)[row],
+                               0.0).astype(np.float32)
         if ok_by_slot.sum() < 10:
             return False
 
@@ -659,7 +660,10 @@ class VinsSystem:
         self.frame_idx += n
         self.timings["dispatch"] = self.timings.get("dispatch", 0) + _time.perf_counter() - _t0
         self.timings["blocks"] = self.timings.get("blocks", 0) + 1
-        return (outs, imgs, n, ts)
+        # The handle carries this block's own end-of-block track-id
+        # buffer: with two blocks in flight, self.est already points at
+        # the NEXT block's state by the time this block is synced.
+        return (outs, imgs, n, ts, state2.est.feats.track_id)
 
     def sync_block(self, handle):
         """Phase 2a (synchronizes on the block's device scan): fetch the
@@ -675,7 +679,7 @@ class VinsSystem:
         import time as _time
 
         _t0 = _time.perf_counter()
-        outs, imgs, n, ts = handle
+        outs, imgs, n, ts, _tid_dev = handle
         # Detection scores for the PREVIOUS block's keyframes ride the
         # combined fetch below: steady-state loop detection then costs
         # no extra round trip (each fetch on the tunneled link is
@@ -694,6 +698,13 @@ class VinsSystem:
             scores_dev, floor = None, 0.0
         drift_dev = ((self.loop._r_drift_dev, self.loop._t_drift_dev)
                      if self.use_loop else (0, 0))
+        # Zero-payload sync first: block until the scan's outputs are
+        # materialized WITHOUT transferring (scan_wait), then do the
+        # combined wire fetch (fetch_wire) — the split decides whether
+        # optimization effort goes to compute or transfer.
+        jax.block_until_ready(outs.p)
+        _t_wait = _time.perf_counter()
+        self.timings["scan_wait"] = self.timings.get("scan_wait", 0) + _t_wait - _t0
         # Small per-frame leaves only (~25 KB + the [N,M,3] sparse map);
         # the keyframe-harvest leaves stay on device and feed the fused
         # insert program directly.
@@ -703,17 +714,17 @@ class VinsSystem:
             (outs.p, outs.q, outs.is_keyframe, outs.is_backend,
              outs.failure, outs.solver_cost, outs.n_tracked,
              outs.loop_good, outs.loop_rel_t, outs.loop_rel_yaw,
-             outs.loop_retired, self.est.feats.track_id, scores_dev,
+             outs.loop_retired, _tid_dev, scores_dev,
              drift_dev, outs.point_cloud, outs.point_valid))
         if self.use_loop:
             self.loop.sync_drift(drift_h[0], drift_h[1])
         # Host copy of the landmark-slot track ids at this block's end:
         # loop staging joins matches against it WITHOUT a device fetch
-        # (fetching self.est after the next dispatch would block on the
-        # whole next scan — measured as ~0.5 s of hidden serialization
-        # per block).
+        # (the handle carries the track-id buffer captured at dispatch
+        # time — fetching self.est here would block on any LATER
+        # dispatched scan when two blocks are in flight).
         self._track_ids_host = tid_h
-        self.timings["prepare_fetch"] = self.timings.get("prepare_fetch", 0) + _time.perf_counter() - _t0
+        self.timings["fetch_wire"] = self.timings.get("fetch_wire", 0) + _time.perf_counter() - _t_wait
         _t1 = _time.perf_counter()
 
         # Failure inside the block: the scan freezes the estimator; the
@@ -850,7 +861,6 @@ class VinsSystem:
         # separate fetch here sat on the stream's critical path for a
         # full scan-length over the tunneled link).
         pcl_h, pok_h = prep["pcl"], prep["pok"]
-        self.timings["publish_fetch"] = self.timings.get("publish_fetch", 0) + _time.perf_counter() - _t0
 
         results = []
         for k in range(n_ok):
@@ -902,11 +912,20 @@ class VinsSystem:
         if not self.use_loop:
             return
         pending, self._pending_detect = self._pending_detect, []
-        self._pending_scores = None  # detect_many re-scores below
+        pending_scores, self._pending_scores = self._pending_scores, None
         n_hits = 0
         if pending:
-            hits = [h for h in self.loop.detect_many(pending)
-                    if h is not None]
+            if pending_scores is not None:
+                # Reuse the already-dispatched scoring result instead of
+                # re-running the program (one redundant device program +
+                # fetch at end of stream otherwise).
+                scores_h, floor = (jax.device_get(pending_scores[0]),
+                                   pending_scores[1])
+                hits_all = self.loop.detect_from_scores(pending, scores_h,
+                                                        floor)
+            else:
+                hits_all = self.loop.detect_many(pending)
+            hits = [h for h in hits_all if h is not None]
             n_hits = len(hits)
             self._stage_queue.extend(hits)
             self._stage_queue = self._stage_queue[-4:]
@@ -925,27 +944,42 @@ class VinsSystem:
         return self.finalize_block(self.dispatch_block(imgs, chunks, ts))
 
     def process_stream(self, imgs, chunks, block: int = 48, ts=None,
-                       realtime: bool = False):
+                       realtime: bool = False, depth: int = 2):
         """Streamed block processing of a long staged sequence with
         host/device overlap (the role the reference's five threads play,
-        SURVEY.md §2.3 row 1):
+        SURVEY.md §2.3 row 1).
 
-          dispatch block k  →  publish block k-1 (host, overlaps device)
-          →  prepare block k (sync; loop closure; stage loop input)
+        Double-buffered: up to `depth` block scans are in flight on the
+        (in-order) device queue at once. Steady state for block k:
 
-        The prepare step syncs on block k so its loop detections can
-        stage constraints into block k+1's dispatch (one block of
-        latency; the track-anchored LoopInput tolerates it).
+          [scan k done, scan k+1 executing]
+          sync block k         (fetch overlaps scan k+1's compute)
+          loop lifecycle + staging (host; hit stages into scan k+2)
+          insert block k's keyframes (device programs queue BEHIND the
+              in-flight scan k+1, so their scores materialize right
+              after it and ride sync k+1's combined fetch)
+          publish block k      (pure host)
+          dispatch scan k+2
+
+        The device therefore runs scan k+1 back-to-back after scan k
+        with only the tiny insert programs between scans — every host
+        cost (fetch wire time, loop bookkeeping, publication) hides
+        under device compute. Loop detections stage constraints two
+        blocks out (the track-anchored LoopInput tolerates the extra
+        block of attrition by design, estimator.py LoopInput).
+
         Bootstrap runs inside the stream (interactive frames until
         initialized, blocks after), and an in-block failure re-enters
-        INITIAL and REPROCESSES the tail instead of truncating
-        (VINS.cpp:463-467). Returns one output per input frame."""
+        INITIAL, DISCARDS any speculative in-flight block, and
+        REPROCESSES the tail instead of truncating (VINS.cpp:463-467).
+        Returns one output per input frame."""
         import time as _time
 
         n = int(imgs.shape[0])
         results = []
         i = 0
-        pending_post = None
+        inflight = []  # FIFO of (handle, start, end)
+        last_sync_t = None
 
         # Block slicing via ONE jitted dynamic-slice program (traced
         # start index): eager `x[i:e]` on a staged device array compiles
@@ -956,23 +990,24 @@ class VinsSystem:
                 return x[s:e]
             return self._slice_block(x, jnp.asarray(s, jnp.int32), e - s)
 
-        def flush_post():
-            # Deferred phase-2 work for the previous block: keyframe
-            # inserts (+ score pre-dispatch) and host-side publication.
-            # In the steady-state loop this runs right after the next
-            # dispatch, so all of it overlaps the in-flight scan; the
-            # only host work left between a scan finishing and the next
-            # dispatch is sync_block's fetch + staging decision.
-            nonlocal pending_post
-            if pending_post is not None:
-                self.insert_block_keyframes(pending_post)
-                results.extend(self.publish_block(pending_post))
-                pending_post = None
+        def dispatch_next():
+            nonlocal i
+            e = min(i + block, n)
+            _ts0 = _time.perf_counter()
+            im_b = block_of(imgs, i, e)
+            ch_b = jax.tree.map(lambda x: block_of(x, i, e), chunks)
+            self.timings["stream_slice"] = self.timings.get(
+                "stream_slice", 0) + _time.perf_counter() - _ts0
+            handle = self.dispatch_block(
+                im_b, ch_b, ts=ts[i:e] if ts is not None else None)
+            inflight.append((handle, i, e))
+            i = e
 
-        while i < n:
-            # INITIAL (bootstrap or failure recovery): interactive frames.
-            if not self.initialized:
-                flush_post()
+        while i < n or inflight:
+            # INITIAL (bootstrap or failure recovery): interactive
+            # frames. A failure drains `inflight` first, so this branch
+            # never races an in-flight speculative block.
+            if not self.initialized and not inflight:
                 out = self.process_frame(
                     block_of(imgs, i, i + 1)[0],
                     jax.tree.map(lambda x: block_of(x, i, i + 1)[0],
@@ -981,23 +1016,36 @@ class VinsSystem:
                 results.append(out)
                 i += 1
                 continue
-            e = min(i + block, n)
-            _ts0 = _time.perf_counter()
-            im_b = block_of(imgs, i, e)
-            ch_b = jax.tree.map(lambda x: block_of(x, i, e), chunks)
-            self.timings["stream_slice"] = self.timings.get("stream_slice", 0) + _time.perf_counter() - _ts0
-            _tb = _time.perf_counter()
-            handle = self.dispatch_block(
-                im_b, ch_b, ts=ts[i:e] if ts is not None else None)
-            flush_post()  # overlaps block [i:e)'s device scan
+            # Keep `depth` scans in flight.
+            while i < n and self.initialized and len(inflight) < depth:
+                dispatch_next()
+            handle, s0, e0 = inflight.pop(0)
             prep = self.sync_block(handle)
+            if prep["fail_at"] is not None:
+                # Publish the good prefix + the failure marker, discard
+                # any speculative in-flight block (its input state was
+                # frozen-garbage from the failure frame on; _fail_reset
+                # already replaced the committed state handles), and
+                # reprocess from the failure point.
+                self.insert_block_keyframes(prep)
+                results.extend(self.publish_block(prep))
+                inflight.clear()
+                last_sync_t = None
+                i = s0 + prep["fail_at"] + 1
+                continue
+            self.insert_block_keyframes(prep)
+            results.extend(self.publish_block(prep))
             # Backpressure (VINS.cpp:646-653 analog), REAL-TIME mode
-            # only (offline replay has no arrival deadline): compare the
-            # block's wall time to its real-time span and scale the
-            # solver's iteration budget for the NEXT block.
-            if realtime and ts is not None and e - i >= 2:
-                span = float(ts[e - 1] - ts[i]) * (e - i) / (e - i - 1)
-                wall = _time.perf_counter() - _tb
+            # only (offline replay has no arrival deadline): in steady
+            # state consecutive sync completions are exactly one block
+            # apart; compare that cadence to the block's real-time span
+            # and scale the solver's iteration budget for future blocks.
+            _t_now = _time.perf_counter()
+            if realtime and ts is not None and e0 - s0 >= 2 \
+                    and last_sync_t is not None:
+                span = float(ts[e0 - 1] - ts[s0]) \
+                    * (e0 - s0) / (e0 - s0 - 1)
+                wall = _t_now - last_sync_t
                 if span > 0:
                     if wall > span and \
                             self.solver_budget > self._budget_floor:
@@ -1005,17 +1053,7 @@ class VinsSystem:
                     elif wall < 0.7 * span and \
                             self.solver_budget < self.cfg.solver.max_iters:
                         self.solver_budget += 1
-            if prep["fail_at"] is not None:
-                # Publish the good prefix + the failure marker, then
-                # reprocess the tail through the interactive path (the
-                # estimator was frozen from the failure frame on).
-                self.insert_block_keyframes(prep)
-                results.extend(self.publish_block(prep))
-                i += prep["fail_at"] + 1
-                continue
-            pending_post = prep
-            i = e
-        flush_post()
+            last_sync_t = _t_now
         if self.use_loop:
             self.drain_loop_work()
         return results

@@ -32,6 +32,31 @@ from .core.estimator import (BackendState, FrameInput, LoopInput,
                              backend_step, landmark_world_points)
 from .core.factors import Extrinsics
 from .frontend import tracker as tr_mod
+from .ops import image as image_mod
+
+
+def precompute_block(imgs: jax.Array, cfg: VinsConfig):
+    """Batched per-block image prep: CLAHE, pyramid, Scharr gradients for
+    every frame in ONE vmapped program.
+
+    These stages are frame-independent (only LK is sequential), so
+    running them inside the scan serializes work the chip could batch:
+    the banded-matmul filters (ops/image.py) become [N·H, W]-scale MXU
+    matmuls here instead of 48 small sequential ones — measured ~2x
+    cheaper per frame — and each frame's prep is computed exactly once
+    (the scan previously recomputed gradients for the fwd/bwd passes).
+
+    Returns (pyrs, grads): tuples over levels of [N, h, w] stacks /
+    ([N,h,w],[N,h,w]) pairs, fed to the scan as xs.
+    """
+    fe = cfg.frontend
+    eq = jax.vmap(lambda im: image_mod.clahe(im, fe.clahe_clip,
+                                             fe.clahe_grid))(imgs)
+    pyrs = [eq]
+    for _ in range(fe.pyramid_levels - 1):
+        pyrs.append(jax.vmap(image_mod.pyr_down)(pyrs[-1]))
+    grads = tuple(jax.vmap(image_mod.sobel_gradients)(p) for p in pyrs)
+    return tuple(pyrs), grads
 
 
 class ScanState(NamedTuple):
@@ -114,17 +139,24 @@ def _sync_pnp(pnp: pnp_mod.PnpWindow, est: BackendState, cfg: VinsConfig,
     return pnp_mod.update_features(pnp, pts_w, valid, track_len)
 
 
-def vio_scan_step(state: ScanState, img: jax.Array,
+def vio_scan_step(state: ScanState, pyr, grads,
                   chunk: pre_mod.ImuChunk, cfg: VinsConfig,
                   ext: Extrinsics, gravity: jax.Array,
                   use_pnp: bool = True) -> Tuple[ScanState, ScanOutput]:
-    """One camera frame of the fused pipeline (pure, scan-able)."""
+    """One camera frame of the fused pipeline (pure, scan-able).
+
+    pyr/grads: this frame's block-precomputed image prep
+    (precompute_block) — per-level pyramid images and gradients."""
     F = cfg.window.num_frames
     Mw = cfg.frontend.max_features
     dtype = gravity.dtype
 
-    tracker, front = tr_mod.track_step(state.tracker, img, cfg,
-                                       do_topup=True)
+    is_backend = state.phase == 0
+    # Top-up on backend frames only when configured (the reference's
+    # cadence, feature_tracker.cpp:231-307 img_cnt==0).
+    do_topup = (True if cfg.frontend.topup_every_frame else is_backend)
+    tracker, front = tr_mod.track_step_pre(state.tracker, pyr, grads, cfg,
+                                           do_topup=do_topup)
 
     merged = jax.lax.cond(
         state.has_pending,
@@ -132,17 +164,24 @@ def vio_scan_step(state: ScanState, img: jax.Array,
         lambda: chunk)
 
     # 30 Hz motion-only pose on every frame (reference USE_PNP path).
+    # On backend frames the published pose is the backend's and the pnp
+    # window is immediately re-anchored to it (_sync_pnp below), so the
+    # motion-only SOLVE is skipped there — the window still slides,
+    # ingests, and dead-reckons for continuity.
     if use_pnp:
+        mode = cfg.solver.pnp_stream_solve
+        do_solve = (True if mode == "all"
+                    else False if mode == "deadreckon"
+                    else ~is_backend)
         obs_l, has_l = _gather_by_id(
             state.est.feats.track_id, front.ids, front.obs, front.obs_valid)
         pnp, (p30, q30, _v30) = pnp_mod.pnp_step(
-            state.pnp, chunk, obs_l, has_l, cfg, ext, gravity)
+            state.pnp, chunk, obs_l, has_l, cfg, ext, gravity,
+            do_solve=do_solve)
     else:
         pnp = state.pnp
         p30 = state.est.window.p[F - 1]
         q30 = state.est.window.q[F - 1]
-
-    is_backend = state.phase == 0
     M = cfg.window.max_landmarks
 
     def do_backend(operand):
@@ -222,10 +261,14 @@ def run_vio_scan(state: ScanState, imgs: jax.Array,
                  ext: Extrinsics, gravity: jax.Array,
                  use_pnp: bool = True) -> Tuple[ScanState, ScanOutput]:
     """Scan a whole staged block of frames: imgs [N,H,W], chunks [N,...].
-    ONE compiled program; jit and reuse across blocks."""
+    ONE compiled program; jit and reuse across blocks. Frame-independent
+    image prep runs batched up front (precompute_block); only the truly
+    sequential per-frame pipeline runs in the scan."""
+    pyrs, grads = precompute_block(imgs, cfg)
 
     def f(s, xs):
-        img, chunk = xs
-        return vio_scan_step(s, img, chunk, cfg, ext, gravity, use_pnp)
+        pyr, grad, chunk = xs
+        return vio_scan_step(s, pyr, grad, chunk, cfg, ext, gravity,
+                             use_pnp)
 
-    return jax.lax.scan(f, state, (imgs, chunks))
+    return jax.lax.scan(f, state, (pyrs, grads, chunks))
