@@ -173,10 +173,19 @@ def main(argv=None):
         # is where loop closure's accuracy effect is measured.
         raw = kf_ate(np.asarray(lc.db.p_origin[:lc.count]))
         pre = kf_ate(np.asarray(lc.db.p[:lc.count]))
-        cost = lc.global_ba()
+        # Shard the BA's landmark blocks over every visible device
+        # (SURVEY §2.3 scale-out; psum-reduced Schur over the mesh's
+        # `block` axis). One device => plain single-device solve.
+        mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            from vins_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(block=n_dev)
+        cost = lc.global_ba(mesh=mesh)
         post = kf_ate(np.asarray(lc.db.p[:lc.count]))
         result["global_ba_cost"] = (round(cost, 4)
                                     if cost is not None else None)
+        result["global_ba_devices"] = n_dev
         if raw is not None:
             result["kf_ate_raw"] = round(raw, 4)
         if pre is not None and post is not None:

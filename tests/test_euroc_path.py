@@ -80,8 +80,9 @@ def test_run_euroc_end_to_end(tmp_path):
     statement of BASELINE.md, exercised on the exact dataset code."""
     from examples import run_euroc
 
-    root = str(tmp_path / "seq")
-    generate_asl_fixture(root, CFG, n_frames=80, seed=5)
+    from conftest import asl_fixture_cached
+
+    root, _ = asl_fixture_cached(n_frames=80, seed=5)
     result = run_euroc.main(["--root", root, "--no-loop",
                              "--out", str(tmp_path / "out")])
     assert result["frames"] == 79
@@ -102,13 +103,15 @@ def test_run_euroc_revisit_loop_closure(tmp_path):
     sequences."""
     from examples import run_euroc
 
-    root = str(tmp_path / "seq")
+    from conftest import asl_fixture_cached
+
     # w=0.42 rad/s at 20 Hz: lap = 15 s = 299 frames; 360 frames give a
     # ~60-frame revisit window. loop_freq=1 inserts every keyframe so
     # the default dislocal window (20 rows ~ 4 s) stays well inside the
     # lap time.
-    generate_asl_fixture(root, CFG, n_frames=360, cam_hz=20.0, seed=9,
-                         traj_kwargs=dict(w=0.42, bob=0.2, bob_w=1.9))
+    root, _ = asl_fixture_cached(
+        n_frames=360, cam_hz=20.0, seed=9,
+        traj_kwargs=dict(w=0.42, bob=0.2, bob_w=1.9))
     result = run_euroc.main(["--root", root, "--stream", "--global-ba",
                              "--loop-freq", "1",
                              "--out", str(tmp_path / "out")])
@@ -131,3 +134,8 @@ def test_run_euroc_revisit_loop_closure(tmp_path):
     assert result.get("global_ba_cost") is not None, result
     assert result["kf_ate_post_ba"] <= result["kf_ate_pre_ba"] * 1.1 \
         + 5e-3, result
+    # Under the test harness's 8-device virtual mesh the product call
+    # site must take the SHARDED path (landmark-sharded psum Schur over
+    # the mesh's block axis) — VERDICT r3 item 8.
+    import jax as _jax
+    assert result["global_ba_devices"] == len(_jax.devices()), result

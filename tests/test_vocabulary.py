@@ -252,3 +252,108 @@ def test_shipped_vocabulary_cross_scene_precision_recall():
     assert recall >= 0.4, f"cross-scene recall {recall:.2f}"
     assert precision >= 0.9, \
         f"cross-scene precision {precision:.2f} (recall {recall:.2f})"
+
+
+@pytest.mark.slow
+def test_place_recognition_soak_500kf_with_resample():
+    """VERDICT r3 item 6: place recognition at POSE-GRAPH scale. 560
+    keyframes (beyond the 512-row cap, so distance resampling fires)
+    are inserted through the REAL LoopCloser insert path — rendered
+    images, FAST+BRIEF extraction, the SHIPPED vocabulary's BoW — over
+    35 distinct places revisited 16x. Gates: resampling actually
+    triggered, the scoring+gating half of detection stays precise at
+    full scale (precision protects the pose graph), and recall stays
+    useful. Reference scale: 500-kf cap + distance resample
+    (keyfame_database.cpp:16,44-76), k10L6 tree."""
+    import dataclasses
+
+    import jax
+
+    from vins_tpu.loop.keyframe_db import LoopCloser
+
+    base = default_config()
+    cfg = dataclasses.replace(
+        base,
+        camera=dataclasses.replace(base.camera, width=128, height=128,
+                                   fx=110.0, fy=110.0, cx=64.0, cy=64.0),
+        frontend=dataclasses.replace(base.frontend, min_distance=8),
+        loop=dataclasses.replace(base.loop, max_kf_features=64,
+                                 dislocal=10))
+    assert cfg.loop.max_keyframes == 512  # the reference-scale cap
+
+    lc = LoopCloser(cfg)
+    assert lc.vocab is not None, "shipped vocabulary asset missing"
+
+    # 35 places = 35 well-separated views of one scene; a revisit is the
+    # same view with fresh sensor noise.
+    P, revisits = 35, 16
+    n_total = P * revisits  # 560 > 512 => resample must fire
+    rng = np.random.default_rng(77)
+    from vins_tpu.io.synthetic import render_camera_frames
+    from vins_tpu.utils import lie as lie_np
+
+    # Places laid out along a closed circuit (keyframe i and i+1 are
+    # spatial neighbors): every 35-keyframe lap revisits the same
+    # places in order, as a real trajectory would — the detector's
+    # normalized-similarity and temporal-consistency gates assume
+    # temporally continuous streams.
+    yaw = (2 * np.pi * np.arange(P) / P
+           + rng.uniform(-0.05, 0.05, P)).astype(np.float32)
+    p_cam = np.stack([3.0 * np.cos(yaw), 3.0 * np.sin(yaw),
+                      rng.uniform(-0.5, 0.5, P)], axis=1).astype(np.float32)
+    # Horizontal outward-looking views (camera +z = view direction at
+    # heading `yaw`, +y down): columns are the camera axes in world.
+    R_wc = np.stack([np.array([[np.sin(y), 0.0, np.cos(y)],
+                               [-np.cos(y), 0.0, np.sin(y)],
+                               [0.0, -1.0, 0.0]], np.float32)
+                     for y in yaw])
+    views = render_camera_frames(p_cam, R_wc, cfg, seed=1234)
+
+    Mw = 4
+    no_px = jnp.zeros((Mw, 2), jnp.float32)
+    no_ok = jnp.zeros((Mw,), bool)
+    no_w = jnp.zeros((Mw, 3), jnp.float32)
+
+    # Place positions 3 m apart on a circle: correctness of a match is
+    # decided spatially (indices shift under resampling).
+    place_p = np.stack([10.0 * np.cos(2 * np.pi * np.arange(P) / P),
+                        10.0 * np.sin(2 * np.pi * np.arange(P) / P),
+                        np.zeros(P)], axis=1).astype(np.float32)
+
+    predicted = correct = eligible = 0
+    early_pred = early_elig = 0
+    for i in range(n_total):
+        pl = i % P
+        img = views[pl] + rng.normal(0, 0.01, views[pl].shape)
+        idx = lc.add_keyframe(
+            jnp.asarray(img, jnp.float32),
+            jnp.asarray(place_p[pl]), jnp.asarray([1, 0, 0, 0],
+                                                  jnp.float32),
+            no_px, no_ok, no_w, no_ok)
+        if i >= P:  # every query after the first lap has a true match
+            scores, floor = lc._place_scores_many([idx])
+            best = lc._gate(idx, scores[0].copy(), floor)
+            eligible += 1
+            if i < 3 * P:
+                early_elig += 1
+                early_pred += best is not None
+            if best is not None:
+                predicted += 1
+                d = np.linalg.norm(
+                    np.asarray(lc.db.p_origin[best]) - place_p[pl])
+                correct += d < 1.5
+    assert lc.count < n_total, "resample never fired at the 512 cap"
+    recall = predicted / eligible
+    early_recall = early_pred / early_elig
+    precision = correct / max(predicted, 1)
+    # Recall profile matches the reference's detector semantics: the
+    # entry-id-based temporal-consistency test (TemplatedLoopDetector's
+    # k-consistency) suppresses cross-lap re-matches once a place has
+    # MANY aliased copies at distant entry ids, so full-soak recall is
+    # structurally lower than early-lap recall. Precision is the gate
+    # that protects the pose graph and must hold at full scale.
+    assert early_recall >= 0.4, f"early-lap recall {early_recall:.2f}"
+    assert recall >= 0.15, f"soak recall {recall:.2f}"
+    assert precision >= 0.9, \
+        f"soak precision {precision:.2f} (recall {recall:.2f}, " \
+        f"early {early_recall:.2f})"

@@ -137,8 +137,12 @@ class SolverConfig:
     #                  refinement the reference needs against its ~100 ms
     #                  backend latency (vins_pnp.cpp:264-341) is
     #                  redundant here. Gated by the per-round accuracy
-    #                  artifact (ACCURACY_r*.json).
-    pnp_stream_solve: str = "nonbackend"
+    #                  artifact (ACCURACY_r*.json); round-4 ATE matrix
+    #                  measured deadreckon == solve-every-frame to 1e-4
+    #                  over a 260-frame stream, so deadreckon is the
+    #                  default. (The interactive 30 Hz path always
+    #                  solves — it faces real backend latency.)
+    pnp_stream_solve: str = "deadreckon"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,7 +152,12 @@ class FrontendConfig:
     max_features: int = 128          # padded slot count (reference MAX_CNT=70)
     target_features: int = 70        # top-up target per keyframe batch
     min_distance: int = 30           # NMS spacing in px (MIN_DIST)
-    pyramid_levels: int = 4
+    # 3 levels, matching the reference's LK (feature_tracker.cpp:181,
+    # maxLevel=3 pyramid). Round-4 ATE matrix: 4 levels measured 6x WORSE
+    # ATE on a 260-frame stream (1.61 vs 0.27) — the 1/8-scale level's
+    # aliased flow seeds drag good tracks off basin — and costs ~10% more
+    # KLT time.
+    pyramid_levels: int = 3
     klt_window: int = 21             # LK window (21x21)
     klt_iters: int = 10              # LK iterations per level
     klt_eps: float = 0.01            # LK convergence threshold (px)
@@ -159,9 +168,13 @@ class FrontendConfig:
     min_track_for_stable: int = 2
     # Streaming scan: detect replacement corners every frame (True) or
     # only on backend frames (False — the reference's cadence,
-    # feature_tracker.cpp:231-307). Per-frame costs ~0.5 ms/frame extra
-    # in the scan; gate it off only if ATE holds (see ACCURACY_r*.json).
-    topup_every_frame: bool = True
+    # feature_tracker.cpp:231-307). Per-frame top-up costs ~0.5 ms/frame
+    # extra in the scan for no measured accuracy benefit (round-4 ATE
+    # matrix: 1.614 vs 1.602 over a 260-frame stream — noise; the round-2
+    # "2x ATE" regression predates the fb+NCC KLT survival fixes), so the
+    # scan follows the reference's cadence. The interactive path still
+    # tops up every frame (it publishes through the same tracker).
+    topup_every_frame: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -317,10 +317,13 @@ class LoopCloser:
         self.t_drift = np.zeros(3, dtype=np.float32)
         self._drift_dirty = False
         self.segment = 0
-        # BoW place recognition state (dense [K, n_words] tf-idf rows).
+        # BoW place recognition state (dense [K, n_words] tf-idf rows);
+        # sized from the LOADED vocabulary's word count (the shipped
+        # asset may be deeper than the runtime-training fallback shape).
         self.vocab = vocab
-        self.bow = jnp.zeros((K, lp.vocab_k ** lp.vocab_levels),
-                             jnp.float32)
+        n_words = (vocab.n_words if vocab is not None
+                   else lp.vocab_k ** lp.vocab_levels)
+        self.bow = jnp.zeros((K, n_words), jnp.float32)
         # Host mirrors: every synchronous device fetch on the insert path
         # is a tunnel round trip, so the count, segments, and drift live
         # on the host (device copies of the drift feed the insert jit).
@@ -523,25 +526,42 @@ class LoopCloser:
     def detect_from_scores(self, idxs, scores_all, floor) -> list:
         """Host half of detect_many: gate + verify with already-fetched
         scores (rows follow _pad_queries(idxs) order)."""
+        pend = self.gate_and_dispatch(idxs, scores_all, floor)
+        fetched = jax.device_get(self.pending_verify_handles(pend))
+        return self.finish_detect(pend, fetched)
+
+    def gate_and_dispatch(self, idxs, scores_all, floor):
+        """Phase 1 of detection: sequential host-side gating (island +
+        temporal state must be updated in query order; cheap numpy) then
+        async dispatch of ONE fused geometric-verification program per
+        gated candidate. Returns an opaque pend object whose device
+        handles (pending_verify_handles) the caller fetches later —
+        the streaming path folds them into the NEXT block's combined
+        fetch, because a fetch issued here would block on the in-flight
+        next scan (in-order device queue)."""
         scores_all = np.asarray(scores_all)
-        # Phase 1 — sequential host-side gating (island + temporal state
-        # must be updated in query order). Cheap numpy; no device work.
         best_of = [self._gate(int(cur), scores_all[i].copy(), floor)
                    for i, cur in enumerate(idxs)]
-        # Phase 2 — geometric verification for every gated candidate,
-        # dispatched async and fetched with ONE device_get: each fetch
-        # over the tunneled link is a full round trip, and several
-        # queries per block can pass the gate (was: one fetch per
-        # candidate, measured at ~70 ms each on the sync critical path).
         pend = []
         for cur, best in zip(idxs, best_of):
             if best is None:
                 pend.append(None)
                 continue
             pend.append(self._dispatch_verify(int(cur), best))
-        fetched = jax.device_get([d for d in pend if d is not None])
+        return (list(idxs), best_of, pend)
+
+    @staticmethod
+    def pending_verify_handles(pend) -> list:
+        """Device handles of a gate_and_dispatch result (fetch these)."""
+        return [d for d in pend[2] if d is not None]
+
+    def finish_detect(self, pend, fetched) -> list:
+        """Phase 2: thresholds + LoopHit assembly from the FETCHED
+        verify results (host-only). fetched = device_get of
+        pending_verify_handles(pend)."""
+        idxs, best_of, handles = pend
         out, j = [], 0
-        for cur, best, d in zip(idxs, best_of, pend):
+        for cur, best, d in zip(idxs, best_of, handles):
             if d is None:
                 out.append(None)
                 continue
@@ -734,7 +754,8 @@ class LoopCloser:
         self._drift_dirty = False
 
     def global_ba(self, mesh=None, iters: int = 8,
-                  max_keyframes: int = 64, max_landmarks: int = 512):
+                  max_keyframes: int = 64, max_landmarks: int = 512,
+                  defer_fetch: bool = False):
         """Global refinement pass over the REAL map: harvest keyframe
         poses + tracked landmarks from the DB into a BAProblem and run
         the (optionally landmark-sharded, psum-reduced) Schur BA; refined
@@ -784,7 +805,9 @@ class LoopCloser:
         # a graph re-run maps every refined ORIGIN pose through its own
         # node's correction, keeping the published map consistent.
         if self.n_loops > 0:
-            self.optimize()
+            self.optimize(defer_fetch=defer_fetch)
+        if defer_fetch:
+            return None
         return float(cost)
 
     def new_segment(self):

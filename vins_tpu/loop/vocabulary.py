@@ -320,8 +320,19 @@ def default_vocabulary() -> Optional[Vocabulary]:
     (callers then fall back to runtime training)."""
     import os
 
-    path = _DEFAULT_VOCAB_PATH or os.path.join(
-        os.path.dirname(__file__), "..", "assets", "brief_k10L3.npz")
+    path = _DEFAULT_VOCAB_PATH
+    if path is None:
+        assets = os.path.join(os.path.dirname(__file__), "..", "assets")
+        # Prefer the deepest shipped tree (k10L4 ~ 10^4 words, trained on
+        # the diversified corpus; the reference ships k10L6 ~ 10^6,
+        # TemplatedVocabulary.h:1505) and fall back to smaller ones.
+        for name in ("brief_k10L4.npz", "brief_k10L3.npz"):
+            cand = os.path.join(assets, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            path = os.path.join(assets, "brief_k10L3.npz")
     path = os.path.abspath(path)
     if path not in _default_cache:
         _default_cache[path] = (load_vocabulary(path)

@@ -138,7 +138,8 @@ class VinsSystem:
 
     def __init__(self, cfg: VinsConfig, seed: int = 0,
                  use_pnp: bool = True, use_loop: bool = True,
-                 ext: Optional[Extrinsics] = None):
+                 ext: Optional[Extrinsics] = None,
+                 global_ba_every_kf: int = 0):
         self.cfg = cfg
         cam = cfg.camera
         self.ext = ext if ext is not None else Extrinsics(
@@ -215,6 +216,10 @@ class VinsSystem:
         self._stage_queue = []       # verified hits awaiting refinement
         self._pending_detect = []    # inserted keyframes awaiting scoring
         self._pending_scores = None  # (scores_dev, floor) pre-dispatched
+        # Gated loop candidates whose geometric-verify programs are
+        # dispatched but not fetched (they queue behind the in-flight
+        # scan; their results ride the NEXT sync's combined fetch).
+        self._pending_verify = None
         self._needs_optimize = False  # pose-graph run deferred to overlap
         # Backpressure: runtime LM iteration budget for streaming solves
         # (the reference scales its solver wall-clock cap 60→40→30 ms
@@ -223,6 +228,19 @@ class VinsSystem:
         # and restores it when there is headroom.
         self.solver_budget = cfg.solver.max_iters
         self._budget_floor = 3
+        # Periodic in-stream global BA (keyfame_database.cpp:140-356's
+        # global-optimization role, run DURING the stream): every N new
+        # keyframes, a (mesh-sharded when >1 device) BA over the
+        # harvested map is dispatched in the overlap window. Off by
+        # default — harvest fetches DB columns, which costs real wire
+        # time on a tunneled single chip; the end-of-run --global-ba
+        # pass covers the offline role.
+        self._ba_every = int(global_ba_every_kf)
+        self._last_ba_count = 0
+        self._ba_mesh = None
+        if self._ba_every and len(jax.devices()) > 1:
+            from .parallel.mesh import make_mesh
+            self._ba_mesh = make_mesh(block=len(jax.devices()))
 
         # Wall-clock stage budget for the streaming path (seconds,
         # cumulative): dispatch = async enqueue cost, prepare = device
@@ -698,6 +716,12 @@ class VinsSystem:
             scores_dev, floor = None, 0.0
         drift_dev = ((self.loop._r_drift_dev, self.loop._t_drift_dev)
                      if self.use_loop else (0, 0))
+        # Geometric-verify results for candidates gated at the PREVIOUS
+        # sync: their programs queued behind the scan we're syncing now,
+        # so they're materialized — fetch them in the combined get.
+        pend_verify, self._pending_verify = self._pending_verify, None
+        vhandles = (self.loop.pending_verify_handles(pend_verify)
+                    if pend_verify is not None else [])
         # Zero-payload sync first: block until the scan's outputs are
         # materialized WITHOUT transferring (scan_wait), then do the
         # combined wire fetch (fetch_wire) — the split decides whether
@@ -710,12 +734,12 @@ class VinsSystem:
         # insert program directly.
         (p_h, q_h, is_kf_h, is_be_h, fail_h, cost_h, ntr_h, lgood_h,
          lrt_h, lry_h, lret_h, tid_h, scores_h, drift_h,
-         pcl_h, pok_h) = jax.device_get(
+         pcl_h, pok_h, vfetched) = jax.device_get(
             (outs.p, outs.q, outs.is_keyframe, outs.is_backend,
              outs.failure, outs.solver_cost, outs.n_tracked,
              outs.loop_good, outs.loop_rel_t, outs.loop_rel_yaw,
              outs.loop_retired, _tid_dev, scores_dev,
-             drift_dev, outs.point_cloud, outs.point_valid))
+             drift_dev, outs.point_cloud, outs.point_valid, vhandles))
         if self.use_loop:
             self.loop.sync_drift(drift_h[0], drift_h[1])
         # Host copy of the landmark-slot track ids at this block's end:
@@ -762,18 +786,26 @@ class VinsSystem:
                 pl["ttl"] -= int(np.sum(is_be_h[:n_ok]))
 
         loop_hits = {}
-        if pending_detect and self.use_loop and scores_h is not None:
-            # Detection for the PREVIOUS block's keyframes with the
-            # piggybacked scores (one block of extra latency; the
-            # track-anchored constraint tolerates it). loop_hits keys
-            # are DB indices here (the source frames left this block).
-            hits = self.loop.detect_from_scores(pending_detect, scores_h,
-                                                floor)
-            for idx, hit in zip(pending_detect, hits):
+        if pend_verify is not None:
+            # Finish verification for candidates gated LAST sync (their
+            # fetched results rode this sync's combined get — two blocks
+            # of detection latency total; the track-anchored constraint
+            # tolerates it). loop_hits keys are DB indices (the source
+            # frames left the pipeline blocks ago).
+            hits = self.loop.finish_detect(pend_verify, vfetched)
+            for idx, hit in zip(pend_verify[0], hits):
                 if hit is not None:
                     loop_hits[-1 - idx] = hit.old_idx
                     self._stage_queue.append(hit)
             self._stage_queue = self._stage_queue[-4:]
+        if pending_detect and self.use_loop and scores_h is not None:
+            # Gate the PREVIOUS block's keyframes with the piggybacked
+            # scores and DISPATCH their geometric verification — the
+            # programs queue behind the in-flight next scan; fetching
+            # here would block on it (in-order device queue), so the
+            # results ride the NEXT sync's combined fetch instead.
+            self._pending_verify = self.loop.gate_and_dispatch(
+                pending_detect, scores_h, floor)
         # One constraint in flight at a time (reference retrive_pose
         # behavior): when none is pending, stage the NEWEST queued hit
         # whose matched tracks are still alive — every verified hit gets
@@ -842,6 +874,15 @@ class VinsSystem:
         self._pending_detect = inserted
         if inserted:
             self._pending_scores = self.loop.dispatch_scores(inserted)
+        # Periodic in-stream global BA over the harvested keyframe map
+        # (opt-in; see __init__). Runs here — the overlap window — so
+        # its device programs queue behind the in-flight scan; the cost
+        # fetch is deferred like the pose graph's drift.
+        if self._ba_every and \
+                self.loop.count - self._last_ba_count >= self._ba_every:
+            self._last_ba_count = self.loop.count
+            self.loop.global_ba(mesh=self._ba_mesh, defer_fetch=True)
+            self.ba_runs = getattr(self, "ba_runs", 0) + 1
         self.timings["insert"] = self.timings.get("insert", 0) + _time.perf_counter() - _t0
 
     def publish_block(self, prep, ts=None):
@@ -914,6 +955,15 @@ class VinsSystem:
         pending, self._pending_detect = self._pending_detect, []
         pending_scores, self._pending_scores = self._pending_scores, None
         n_hits = 0
+        # Finish any gated-but-unfetched geometric verifications.
+        pend_verify, self._pending_verify = self._pending_verify, None
+        if pend_verify is not None:
+            vfetched = jax.device_get(
+                self.loop.pending_verify_handles(pend_verify))
+            vh = [h for h in self.loop.finish_detect(pend_verify, vfetched)
+                  if h is not None]
+            n_hits += len(vh)
+            self._stage_queue.extend(vh)
         if pending:
             if pending_scores is not None:
                 # Reuse the already-dispatched scoring result instead of
