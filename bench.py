@@ -168,6 +168,15 @@ def bench_system(cfg, n_frames=528, block=48, seed=7):
     dt = time.perf_counter() - t0
     assert len(outs) == n_meas and all(o.initialized for o in outs), \
         "pipeline failed during measurement"
+    # Published artifacts must be finite: poses always, point clouds on
+    # every valid slot (invalid slots are zeroed at the source —
+    # landmark_world_points; a NaN/inf here is a regression).
+    for o in outs:
+        assert np.all(np.isfinite(o.p)) and np.all(np.isfinite(o.q)), \
+            "non-finite published pose"
+        if o.point_cloud is not None:
+            assert np.all(np.isfinite(o.point_cloud)), \
+                "non-finite published point cloud"
     n_kf = sum(1 for o in outs if o.is_keyframe)
     tm = sys_.timings
     nb = max(tm.get("blocks", 0), 1)

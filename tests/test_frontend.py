@@ -15,7 +15,16 @@ from vins_tpu.io.synthetic import (ground_truth_correspondence,
                                    make_synthetic_sequence,
                                    render_sequence_images)
 
+import dataclasses
+
+# This file's fixture runs at 10 fps (frame_dt=0.1 — 3x the inter-frame
+# motion of the 30 Hz product rate), so the LK pyramid needs an extra
+# level to keep the coarse-to-fine capture range (~2^(L-1)·10 px) above
+# the per-frame flow. The product default is 3 levels (reference parity;
+# measured more accurate at 30 fps — see config.FrontendConfig).
 CFG = VinsConfig()
+CFG = dataclasses.replace(
+    CFG, frontend=dataclasses.replace(CFG.frontend, pyramid_levels=4))
 F = CFG.window.num_frames
 M = CFG.window.max_landmarks
 

@@ -129,6 +129,12 @@ def test_stream_loop_injection_refines_edge(seq_pack):
         block=12, ts=seq.timestamps[k:n_frames])
     assert len(outs) == n_frames - k
     assert all(o.initialized for o in outs)
+    # Every published artifact is finite (VERDICT r3 item 3: empty
+    # landmark slots used to overflow the fp16 cloud cast to inf).
+    for o in outs:
+        assert np.all(np.isfinite(o.p)) and np.all(np.isfinite(o.q))
+        if o.point_cloud is not None:
+            assert np.all(np.isfinite(o.point_cloud))
 
     # The edge was refined by a window solve, not left at the sentinel.
     lt = np.asarray(sys_.loop.graph.loop_t[0])

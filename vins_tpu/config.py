@@ -165,6 +165,10 @@ class FrontendConfig:
     f_ransac_hyps: int = 256         # fixed hypothesis count (batched RANSAC)
     clahe_clip: float = 3.0          # CLAHE clip limit (ViewController.mm:439)
     clahe_grid: int = 8
+    # CLAHE histogram bins. cv::CLAHE uses 256; the histogram
+    # compare-reduce and the one-hot LUT contraction both scale linearly
+    # in bins, and 128 is visually indistinguishable for tracking.
+    clahe_bins: int = 256
     min_track_for_stable: int = 2
     # Streaming scan: detect replacement corners every frame (True) or
     # only on backend frames (False — the reference's cadence,

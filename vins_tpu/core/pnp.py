@@ -249,7 +249,7 @@ def solve_pnp_window(win: PnpWindow, cfg: VinsConfig, ext: Extrinsics,
 def pnp_step(win: PnpWindow, chunk: pre_mod.ImuChunk,
              obs: jax.Array, obs_mask: jax.Array,
              cfg: VinsConfig, ext: Extrinsics, gravity: jax.Array,
-             do_solve=True
+             do_solve=True, update_preints: bool = True
              ) -> Tuple[PnpWindow, Tuple[jax.Array, jax.Array, jax.Array]]:
     """One camera frame at full rate: slide, ingest, dead-reckon, solve.
 
@@ -259,6 +259,12 @@ def pnp_step(win: PnpWindow, chunk: pre_mod.ImuChunk,
     and the dead-reckoned state is returned (the streaming scan skips the
     solve on backend frames, whose published pose is the backend's and
     whose pnp window is immediately re-anchored).
+    update_preints: static — when False (the scan's deadreckon policy,
+    where no solve will ever read them), the per-edge preintegration
+    propagate (15x15 covariance chain — measured as the bulk of the
+    1.6 ms/frame advance cost) is SKIPPED and the carried preints go
+    stale; the pipeline rebuilds them (window_preints) before the next
+    interactive solve.
     Returns (window, (p, q, v)) — the 30 Hz pose output.
     """
     S = win.state.p.shape[0]
@@ -289,8 +295,15 @@ def pnp_step(win: PnpWindow, chunk: pre_mod.ImuChunk,
     # Slide the carried preintegrations and propagate ONLY the new edge
     # (vins_pnp.cpp:203-242: one IntegrationBase per edge, integrated
     # once; bias drift handled first-order inside the residual).
-    pre_new = pre_mod.propagate(chunk, st.ba[W - 1], st.bg[W - 1], cfg.imu)
-    if win.preints is not None:
+    if not update_preints:
+        # Stale placeholder keeps the pytree shape; consumers must
+        # rebuild (window_preints) before solving.
+        preints = jax.tree.map(
+            lambda all_: jnp.concatenate([all_[1:], all_[-1:]], 0),
+            win.preints)
+    elif win.preints is not None:
+        pre_new = pre_mod.propagate(chunk, st.ba[W - 1], st.bg[W - 1],
+                                    cfg.imu)
         preints = jax.tree.map(
             lambda all_, new: jnp.concatenate([all_[1:], new[None]], 0),
             win.preints, pre_new)

@@ -168,37 +168,19 @@ def propagate_sequential(chunk: ImuChunk, linearized_ba: jax.Array,
     return Preintegration(dp, dq, dv, J, P, sum_dt, ba, bg)
 
 
-def propagate(chunk: ImuChunk, linearized_ba: jax.Array,
-              linearized_bg: jax.Array, imu: ImuConfig) -> Preintegration:
-    """Integrate a chunk into a `Preintegration` (= reference `propagate`,
-    and `repropagate` when called with updated biases).
+def _delta_prefixes(chunk: ImuChunk, ba: jax.Array, bg: jax.Array):
+    """Body-frame preintegration deltas via log-depth prefix scans (steps
+    1-2 of the parallel `propagate` formulation — shared with the light
+    dead-reckoning path, which needs no covariance/Jacobian).
 
-    Parallel formulation of the same midpoint recursion
-    (integration_base.h:63-139): a 31-step sequential scan of tiny matrix
-    ops is latency-bound on TPU (~0.5 ms per edge, 5 ms for a window
-    repropagation). Instead:
-      1. per-step incremental rotations δq_k depend only on gyro inputs →
-         all rotation PREFIXES via one `associative_scan` of quaternion
-         products (log depth);
-      2. with rotations known, the midpoint accelerations are elementwise
-         and Δv/Δp are cumulative sums;
-      3. the Jacobian chain J = F_{N}···F_1 and covariance recursion
-         P ← F P Fᵀ + V Q Vᵀ form an associative pair composition
-         (A2·A1, A2·B1·A2ᵀ + B2) → one more `associative_scan` of batched
-         15×15 matmuls.
-    Padding rows (dt = 0) contribute identity/zero elements exactly, as
-    in the sequential form.
-    """
+    Returns (dt [S], R0 [S,3,3], R1 [S,3,3], a0, a1, un_gyr,
+    dp [3], dq [4], dv [3], sum_dt)."""
     dtype = chunk.acc.dtype
-    noise_cov = noise_covariance(imu, dtype)
-    ba, bg = linearized_ba, linearized_bg
     dt = chunk.dt[1:]                      # [S]
     acc0 = chunk.acc[:-1]
     acc1 = chunk.acc[1:]
     gyr0 = chunk.gyr[:-1]
     gyr1 = chunk.gyr[1:]
-    S = dt.shape[0]
-    I3 = jnp.eye(3, dtype=dtype)
 
     # --- 1. rotation prefixes -------------------------------------------
     un_gyr = 0.5 * (gyr0 + gyr1) - bg                     # [S,3]
@@ -224,6 +206,36 @@ def propagate(chunk: ImuChunk, linearized_ba: jax.Array,
     dv = dv_pref[-1]
     dq = dq_pref[-1]
     sum_dt = jnp.sum(dt)
+    return dt, R0, R1, a0, a1, un_gyr, dp, dq, dv, sum_dt
+
+
+def propagate(chunk: ImuChunk, linearized_ba: jax.Array,
+              linearized_bg: jax.Array, imu: ImuConfig) -> Preintegration:
+    """Integrate a chunk into a `Preintegration` (= reference `propagate`,
+    and `repropagate` when called with updated biases).
+
+    Parallel formulation of the same midpoint recursion
+    (integration_base.h:63-139): a 31-step sequential scan of tiny matrix
+    ops is latency-bound on TPU (~0.5 ms per edge, 5 ms for a window
+    repropagation). Instead:
+      1. per-step incremental rotations δq_k depend only on gyro inputs →
+         all rotation PREFIXES via one `associative_scan` of quaternion
+         products (log depth);
+      2. with rotations known, the midpoint accelerations are elementwise
+         and Δv/Δp are cumulative sums;
+      3. the Jacobian chain J = F_{N}···F_1 and covariance recursion
+         P ← F P Fᵀ + V Q Vᵀ form an associative pair composition
+         (A2·A1, A2·B1·A2ᵀ + B2) → one more `associative_scan` of batched
+         15×15 matmuls.
+    Padding rows (dt = 0) contribute identity/zero elements exactly, as
+    in the sequential form.
+    """
+    dtype = chunk.acc.dtype
+    noise_cov = noise_covariance(imu, dtype)
+    ba, bg = linearized_ba, linearized_bg
+    (dt, R0, R1, a0, a1, un_gyr, dp, dq, dv, sum_dt) = \
+        _delta_prefixes(chunk, ba, bg)
+    I3 = jnp.eye(3, dtype=dtype)
 
     # --- 3. batched F/V, then pair-composition scan -----------------------
     dt2 = dt * dt
@@ -345,21 +357,17 @@ def propagate_state(p: jax.Array, q: jax.Array, v: jax.Array,
                     chunk: ImuChunk, gravity: jax.Array):
     """World-frame dead-reckoning over a chunk (reference VINS.cpp:359-370).
 
-    Used by the high-rate propagation path and tests. Returns (p, q, v).
+    Log-depth formulation: the per-step world recursion is EXACTLY the
+    body-frame preintegration delta composed with constant gravity —
+    v_j = v_i − g·Δt + R_i·Δv and
+    p_j = p_i + v_i·Δt − ½·g·Δt² + R_i·Δp
+    (the cross terms collapse because Σₖ tₖ₋₁·dtₖ + ½Σₖdtₖ² = ½(Σdtₖ)²
+    for any step sizes), so the 31-step sequential scan reduces to the
+    same prefix scans `propagate` uses. Returns (p, q, v).
     """
-    def step(carry, sample):
-        p, q, v, acc0, gyr0 = carry
-        dt, acc1, gyr1 = sample
-        un_acc_0 = lie.quat_rotate(q, acc0 - ba) - gravity
-        un_gyr = 0.5 * (gyr0 + gyr1) - bg
-        q_new = lie.quat_normalize(lie.quat_mul(q, lie.delta_q(un_gyr * dt)))
-        un_acc_1 = lie.quat_rotate(q_new, acc1 - ba) - gravity
-        un_acc = 0.5 * (un_acc_0 + un_acc_1)
-        p_new = p + v * dt + 0.5 * un_acc * dt * dt
-        v_new = v + un_acc * dt
-        return (p_new, q_new, v_new, acc1, gyr1), None
-
-    xs = (chunk.dt[1:], chunk.acc[1:], chunk.gyr[1:])
-    (p, q, v, _, _), _ = jax.lax.scan(
-        step, (p, q, v, chunk.acc[0], chunk.gyr[0]), xs)
-    return p, q, v
+    _, _, _, _, _, _, dp, dq, dv, sdt = _delta_prefixes(chunk, ba, bg)
+    R_i = lie.quat_to_rotmat(q)
+    p_j = p + v * sdt - 0.5 * gravity * sdt * sdt + R_i @ dp
+    v_j = v - gravity * sdt + R_i @ dv
+    q_j = lie.quat_normalize(lie.quat_mul(q, dq))
+    return p_j, q_j, v_j

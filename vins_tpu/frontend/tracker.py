@@ -110,7 +110,8 @@ def init_step(state: TrackerState, img: jax.Array,
               cfg: VinsConfig) -> Tuple[TrackerState, FrontendOutput]:
     """First frame: equalize, build pyramid, detect initial corners."""
     fe = cfg.frontend
-    img_eq = image_mod.clahe(img, fe.clahe_clip, fe.clahe_grid)
+    img_eq = image_mod.clahe(img, fe.clahe_clip, fe.clahe_grid,
+                            fe.clahe_bins)
     pyr = tuple(image_mod.build_pyramid(img_eq, fe.pyramid_levels))
     grads = tuple(image_mod.sobel_gradients(p) for p in pyr)
     M = fe.max_features
@@ -143,7 +144,8 @@ def track_step(state: TrackerState, img: jax.Array, cfg: VinsConfig,
     the streaming scan precomputes it for a whole block in one batched
     program and calls track_step_pre instead."""
     fe = cfg.frontend
-    img_eq = image_mod.clahe(img, fe.clahe_clip, fe.clahe_grid)
+    img_eq = image_mod.clahe(img, fe.clahe_clip, fe.clahe_grid,
+                            fe.clahe_bins)
     pyr = tuple(image_mod.build_pyramid(img_eq, fe.pyramid_levels))
     grads = tuple(image_mod.sobel_gradients(p) for p in pyr)
     return track_step_pre(state, pyr, grads, cfg, do_topup)

@@ -78,6 +78,26 @@ class KeyframeDB(NamedTuple):
             tid=jnp.full((K, Nf), -1, jnp.int32))
 
 
+@jax.jit
+def _set_loop_edge(graph, e, i, j, t, yaw, w):
+    """Traced-index loop-edge write (one compiled program for every e)."""
+    return graph._replace(
+        loop_i=graph.loop_i.at[e].set(i),
+        loop_j=graph.loop_j.at[e].set(j),
+        loop_t=graph.loop_t.at[e].set(t),
+        loop_yaw=graph.loop_yaw.at[e].set(yaw),
+        loop_w=graph.loop_w.at[e].set(w))
+
+
+@jax.jit
+def _refine_loop_edge(graph, e, t, yaw, w):
+    """Traced-index loop-edge refinement write."""
+    return graph._replace(
+        loop_t=graph.loop_t.at[e].set(t),
+        loop_yaw=graph.loop_yaw.at[e].set(yaw),
+        loop_w=graph.loop_w.at[e].set(w))
+
+
 # Fixed width for batched detection queries (detect_many pads to a
 # multiple of this so the scoring program has a bounded shape set).
 _DETECT_PAD = 8
@@ -332,6 +352,11 @@ class LoopCloser:
         self._kf_t_np = np.zeros(K, np.float64)  # capture stamps (eval)
         self._r_drift_dev = jnp.eye(3, dtype=jnp.float32)
         self._t_drift_dev = jnp.zeros(3, jnp.float32)
+        # Device-resident verify constants (one upload; per-dispatch
+        # jnp.asarray conversions cost tunnel round trips).
+        self._thresh_sq_dev = jnp.asarray(
+            (lp.geo_ransac_px / cfg.camera.focal) ** 2, jnp.float32)
+        self._max_msr_dev = jnp.asarray(lp.pnp_max_msr, jnp.float32)
 
         cfg_, Nf_ = cfg, self.Nf
         self._ins_plain = jax.jit(
@@ -622,10 +647,8 @@ class LoopCloser:
             jnp.asarray(best, jnp.int32), sub, self.tic, self.qic,
             max_dist=lp.match_max_dist, ratio=lp.match_ratio,
             hyps=lp.geo_ransac_hyps,
-            thresh_sq=jnp.asarray(
-                (lp.geo_ransac_px / self.cfg.camera.focal) ** 2,
-                jnp.float32),
-            max_msr=jnp.asarray(lp.pnp_max_msr, jnp.float32))
+            thresh_sq=self._thresh_sq_dev,
+            max_msr=self._max_msr_dev)
 
     def _finish_verify(self, cur_idx: int, best: int,
                        fetched) -> Optional[LoopHit]:
@@ -682,12 +705,16 @@ class LoopCloser:
                 loop_w=jnp.roll(g.loop_w, -1))
             self.n_loops = e = E - 1
             self._loop_i_host.pop(0)
-        self.graph = self.graph._replace(
-            loop_i=self.graph.loop_i.at[e].set(hit.old_idx),
-            loop_j=self.graph.loop_j.at[e].set(hit.cur_idx),
-            loop_t=self.graph.loop_t.at[e].set(jnp.asarray(hit.t_rel)),
-            loop_yaw=self.graph.loop_yaw.at[e].set(hit.yaw_rel),
-            loop_w=self.graph.loop_w.at[e].set(self.W_TENTATIVE))
+        # ONE traced-index program: eager .at[e].set compiles (and
+        # remote-loads) a separate program per distinct edge index —
+        # measured as tens of ms/block on the streaming critical path.
+        self.graph = _set_loop_edge(
+            self.graph, jnp.asarray(e, jnp.int32),
+            jnp.asarray(hit.old_idx, jnp.int32),
+            jnp.asarray(hit.cur_idx, jnp.int32),
+            jnp.asarray(hit.t_rel, self.graph.loop_t.dtype),
+            jnp.asarray(hit.yaw_rel, self.graph.loop_yaw.dtype),
+            jnp.asarray(self.W_TENTATIVE, self.graph.loop_w.dtype))
         self.n_loops += 1
         self._loop_i_host.append(int(hit.old_idx))
 
@@ -699,11 +726,11 @@ class LoopCloser:
         tentative to full weight."""
         if e < 0 or e >= self.n_loops:
             return
-        self.graph = self.graph._replace(
-            loop_t=self.graph.loop_t.at[e].set(
-                jnp.asarray(t_rel, self.graph.loop_t.dtype)),
-            loop_yaw=self.graph.loop_yaw.at[e].set(float(yaw_rel)),
-            loop_w=self.graph.loop_w.at[e].set(self.W_REFINED))
+        self.graph = _refine_loop_edge(
+            self.graph, jnp.asarray(e, jnp.int32),
+            jnp.asarray(t_rel, self.graph.loop_t.dtype),
+            jnp.asarray(yaw_rel, self.graph.loop_yaw.dtype),
+            jnp.asarray(self.W_REFINED, self.graph.loop_w.dtype))
 
     def optimize(self, defer_fetch: bool = False
                  ) -> Tuple[np.ndarray, np.ndarray]:

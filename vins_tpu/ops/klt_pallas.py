@@ -110,14 +110,14 @@ def _klt_kernel(pts_ref, guess_ref, valid_ref,
         return (it + 1, fx_ + dx, fy_ + dy, jnp.mean(jnp.abs(diff)),
                 dx * dx + dy * dy)
 
-    # Dead slots (invalid input or degenerate template) skip the
-    # iteration loop entirely: ~45% of the padded feature slots are
-    # free in steady state and the scalar loop is the kernel's critical
-    # path.
+    # Dead INPUT slots skip the iteration loop entirely: ~45% of the
+    # padded feature slots are free in steady state and the scalar loop
+    # is the kernel's critical path. (min-eig-failed templates still
+    # iterate, matching the XLA path's unmasked fori_loop.)
     _, fx_, fy_, err, _ = jax.lax.while_loop(
         cond, body, (jnp.zeros((), jnp.int32), g0x, g0y,
                      jnp.zeros((), t.dtype),
-                     jnp.where(ok, jnp.inf, 0.0).astype(t.dtype)))
+                     jnp.where(ok_in > 0, jnp.inf, 0.0).astype(t.dtype)))
     flow_ref[i, 0] = fx_
     flow_ref[i, 1] = fy_
     ok_ref[i, 0] = ok.astype(jnp.int32)
@@ -207,7 +207,8 @@ def _klt_pyramid_kernel(pts_ref, guess_ref, valid_ref, *refs,
     py = pts_ref[i, 1]
     fx_ = guess_ref[i, 0]
     fy_ = guess_ref[i, 1]
-    ok = valid_ref[i, 0] > 0
+    alive = valid_ref[i, 0] > 0   # input-valid: dead slots skip loops
+    ok = alive
     err = jnp.zeros((), jnp.float32)
 
     for lvl in range(L - 1, -1, -1):   # coarsest → finest
@@ -251,11 +252,12 @@ def _klt_pyramid_kernel(pts_ref, guess_ref, valid_ref, *refs,
             return (it + 1, fx_i + dx, fy_i + dy, jnp.mean(jnp.abs(diff)),
                     dx * dx + dy * dy)
 
-        # Dead slots skip the level's iteration loop (see _klt_kernel).
+        # Dead INPUT slots skip the level's iteration loop (see
+        # _klt_kernel; min-eig-failed templates still iterate).
         _, fx_, fy_, err, _ = jax.lax.while_loop(
             cond, body, (jnp.zeros((), jnp.int32), fx_, fy_,
                          jnp.zeros((), jnp.float32),
-                         jnp.where(ok, jnp.float32(jnp.inf),
+                         jnp.where(alive, jnp.float32(jnp.inf),
                                    jnp.float32(0.0))))
         if lvl > 0:
             fx_ = fx_ * 2.0

@@ -213,8 +213,16 @@ class VinsSystem:
             lambda x, s, m: jax.lax.dynamic_slice_in_dim(x, s, m, axis=0),
             static_argnums=2)
         self._track_ids_host = None  # host mirror (block mode staging)
+        # Block-mode deadreckon policy leaves the pnp window's carried
+        # preintegrations stale (pnp_step update_preints=False); rebuild
+        # them before the next INTERACTIVE solve.
+        self._pnp_preints_stale = False
+        self._rebuild_preints = jax.jit(
+            lambda w: w._replace(preints=pnp_mod.window_preints(w, cfg)))
         self._stage_queue = []       # verified hits awaiting refinement
         self._pending_detect = []    # inserted keyframes awaiting scoring
+        self._pending_gate = None    # (idxs, scores, floor) to gate in
+                                     # the overlap window
         self._pending_scores = None  # (scores_dev, floor) pre-dispatched
         # Gated loop candidates whose geometric-verify programs are
         # dispatched but not fetched (they queue behind the in-flight
@@ -464,6 +472,9 @@ class VinsSystem:
 
         # 30 Hz motion-only pose on every frame (reference USE_PNP path).
         if self.use_pnp:
+            if self._pnp_preints_stale:
+                self.pnp = self._rebuild_preints(self.pnp)
+                self._pnp_preints_stale = False
             # Re-order the frontend's observations into backend landmark
             # slots (the pnp map lives in that order).
             obs_l, has_l = self._gather_by_id(
@@ -568,7 +579,8 @@ class VinsSystem:
             self.loop.optimize()
         return hit.old_idx
 
-    def _stage_loop_from_hit(self, hit, slot_ids=None) -> bool:
+    def _stage_loop_from_hit(self, hit, slot_ids=None,
+                             defer_optimize: bool = False) -> bool:
         """Stage a verified loop hit as a LoopInput for the following
         window solves (interactive AND block mode — the constraint is
         track-anchored, so staging latency only costs track attrition).
@@ -597,23 +609,31 @@ class VinsSystem:
 
         # A new hit supersedes any still-pending loop (reference
         # front_pose replacement, VINS.cpp:575-578): finalize first.
+        # Block mode defers the pose-graph run to the overlap window —
+        # an immediate optimize() fetches drift and would block on the
+        # in-flight scan (measured ~56 ms/block when hits cluster).
         if self._pending_loop is not None:
-            self.loop.optimize()
+            if defer_optimize:
+                self._needs_optimize = True
+            else:
+                self.loop.optimize()
         F = self.cfg.window.num_frames
+        # ONE host->device transfer for the whole constraint block (eight
+        # separate jnp.asarray uploads each cost a tunnel dispatch).
         self._pending_loop = {
             "edge": self.loop.n_loops - 1,
             "old_idx": hit.old_idx,
             "ttl": F,            # ≈ the reference's in-window residence
-            "dev": LoopInput(
-                obs_old=jnp.asarray(obs_by_slot),
-                ok=jnp.asarray(ok_by_slot),
-                ids=jnp.asarray(slot_ids),
-                p_init=jnp.asarray(hit.p_old, jnp.float32),
-                q_init=jnp.asarray(hit.q_old, jnp.float32),
-                p_cur=jnp.asarray(hit.p_cur, jnp.float32),
-                yaw_cur=jnp.asarray(_np_yaw(hit.q_cur), jnp.float32),
-                ttl=jnp.asarray(F, jnp.int32),
-                weight=jnp.asarray(1.0, jnp.float32)),
+            "dev": jax.device_put(LoopInput(
+                obs_old=np.asarray(obs_by_slot, np.float32),
+                ok=np.asarray(ok_by_slot),
+                ids=np.asarray(slot_ids, np.int32),
+                p_init=np.asarray(hit.p_old, np.float32),
+                q_init=np.asarray(hit.q_old, np.float32),
+                p_cur=np.asarray(hit.p_cur, np.float32),
+                yaw_cur=np.asarray(_np_yaw(hit.q_cur), np.float32),
+                ttl=np.asarray(F, np.int32),
+                weight=np.asarray(1.0, np.float32))),
         }
         return True
 
@@ -673,6 +693,8 @@ class VinsSystem:
         self.tracker.state = state2.tracker
         self.pnp = state2.pnp
         self.est = state2.est
+        if self.use_pnp and self.cfg.solver.pnp_stream_solve == "deadreckon":
+            self._pnp_preints_stale = True
         self._pending_chunk_dev = (state2.pending, state2.has_pending)
         self._pending_chunk = None
         self.frame_idx += n
@@ -731,15 +753,25 @@ class VinsSystem:
         self.timings["scan_wait"] = self.timings.get("scan_wait", 0) + _t_wait - _t0
         # Small per-frame leaves only (~25 KB + the [N,M,3] sparse map);
         # the keyframe-harvest leaves stay on device and feed the fused
-        # insert program directly.
-        (p_h, q_h, is_kf_h, is_be_h, fail_h, cost_h, ntr_h, lgood_h,
-         lrt_h, lry_h, lret_h, tid_h, scores_h, drift_h,
+        # insert program directly. Everything scalar rides ONE packed
+        # [N, 18] buffer (stream.PACK_*): per-buffer transfer overhead
+        # over the tunnel measured ~2 ms each.
+        (packed_h, tid_h, scores_h, drift_h,
          pcl_h, pok_h, vfetched) = jax.device_get(
-            (outs.p, outs.q, outs.is_keyframe, outs.is_backend,
-             outs.failure, outs.solver_cost, outs.n_tracked,
-             outs.loop_good, outs.loop_rel_t, outs.loop_rel_yaw,
-             outs.loop_retired, _tid_dev, scores_dev,
+            (outs.packed, _tid_dev, scores_dev,
              drift_dev, outs.point_cloud, outs.point_valid, vhandles))
+        from . import stream as _st
+        p_h = packed_h[:, _st.PACK_P]
+        q_h = packed_h[:, _st.PACK_Q]
+        cost_h = packed_h[:, _st.PACK_COST]
+        is_be_h = packed_h[:, _st.PACK_IS_BE] > 0.5
+        is_kf_h = packed_h[:, _st.PACK_IS_KF] > 0.5
+        fail_h = packed_h[:, _st.PACK_FAIL] > 0.5
+        ntr_h = packed_h[:, _st.PACK_NTRACK].astype(np.int32)
+        lgood_h = packed_h[:, _st.PACK_LGOOD] > 0.5
+        lry_h = packed_h[:, _st.PACK_LYAW]
+        lret_h = packed_h[:, _st.PACK_LRET] > 0.5
+        lrt_h = packed_h[:, _st.PACK_LREL_T]
         if self.use_loop:
             self.loop.sync_drift(drift_h[0], drift_h[1])
         # Host copy of the landmark-slot track ids at this block's end:
@@ -785,6 +817,9 @@ class VinsSystem:
                 # mode consistent after a mode switch).
                 pl["ttl"] -= int(np.sum(is_be_h[:n_ok]))
 
+        self.timings["loop_edge"] = self.timings.get("loop_edge", 0) \
+            + _time.perf_counter() - _t1
+        _t2 = _time.perf_counter()
         loop_hits = {}
         if pend_verify is not None:
             # Finish verification for candidates gated LAST sync (their
@@ -798,14 +833,18 @@ class VinsSystem:
                     loop_hits[-1 - idx] = hit.old_idx
                     self._stage_queue.append(hit)
             self._stage_queue = self._stage_queue[-4:]
+        self.timings["loop_finish"] = self.timings.get("loop_finish", 0) \
+            + _time.perf_counter() - _t2
+        _t4 = _time.perf_counter()
         if pending_detect and self.use_loop and scores_h is not None:
-            # Gate the PREVIOUS block's keyframes with the piggybacked
-            # scores and DISPATCH their geometric verification — the
-            # programs queue behind the in-flight next scan; fetching
-            # here would block on it (in-order device queue), so the
-            # results ride the NEXT sync's combined fetch instead.
-            self._pending_verify = self.loop.gate_and_dispatch(
-                pending_detect, scores_h, floor)
+            # Gating + geometric-verification DISPATCH are deferred to
+            # the overlap window (insert_block_keyframes): the dispatch
+            # overhead itself (argument uploads + program launch over
+            # the tunnel) measured ~49 ms/block on the sync critical
+            # path, and the verify programs queue behind the in-flight
+            # next scan either way; their results ride the NEXT sync's
+            # combined fetch.
+            self._pending_gate = (pending_detect, scores_h, floor)
         # One constraint in flight at a time (reference retrive_pose
         # behavior): when none is pending, stage the NEWEST queued hit
         # whose matched tracks are still alive — every verified hit gets
@@ -815,9 +854,12 @@ class VinsSystem:
         if self._pending_loop is None:
             while self._stage_queue:
                 hit = self._stage_queue.pop()
-                if self._stage_loop_from_hit(hit, tid_h):
+                if self._stage_loop_from_hit(hit, tid_h,
+                                             defer_optimize=True):
                     break
 
+        self.timings["loop_stage"] = self.timings.get("loop_stage", 0) \
+            + _time.perf_counter() - _t4
         if fail_at is not None:
             # Re-anchor at the last PRE-failure published pose; if the
             # failure hit the first frame of the block, keep the previous
@@ -849,6 +891,10 @@ class VinsSystem:
         if not self.use_loop:
             return
         _t0 = _time.perf_counter()
+        pending_gate, self._pending_gate = self._pending_gate, None
+        if pending_gate is not None:
+            self._pending_verify = self.loop.gate_and_dispatch(
+                *pending_gate)
         if self._needs_optimize:
             self.loop.optimize(defer_fetch=True)
             self._needs_optimize = False
@@ -955,6 +1001,12 @@ class VinsSystem:
         pending, self._pending_detect = self._pending_detect, []
         pending_scores, self._pending_scores = self._pending_scores, None
         n_hits = 0
+        # Gate any scores fetched but not yet gated (the overlap window
+        # that would have run gate_and_dispatch never came).
+        pending_gate, self._pending_gate = self._pending_gate, None
+        if pending_gate is not None and self._pending_verify is None:
+            self._pending_verify = self.loop.gate_and_dispatch(
+                *pending_gate)
         # Finish any gated-but-unfetched geometric verifications.
         pend_verify, self._pending_verify = self._pending_verify, None
         if pend_verify is not None:

@@ -51,7 +51,8 @@ def precompute_block(imgs: jax.Array, cfg: VinsConfig):
     """
     fe = cfg.frontend
     eq = jax.vmap(lambda im: image_mod.clahe(im, fe.clahe_clip,
-                                             fe.clahe_grid))(imgs)
+                                             fe.clahe_grid,
+                                             fe.clahe_bins))(imgs)
     pyrs = [eq]
     for _ in range(fe.pyramid_levels - 1):
         pyrs.append(jax.vmap(image_mod.pyr_down)(pyrs[-1]))
@@ -111,6 +112,25 @@ class ScanOutput(NamedTuple):
     loop_rel_t: jax.Array    # [3]
     loop_rel_yaw: jax.Array  # []
     loop_retired: jax.Array  # [] bool
+    # All small per-frame leaves packed into ONE row (see PACK_* column
+    # constants): the streaming sync fetches this single [N, 18] buffer
+    # instead of eleven separate ones — per-buffer transfer overhead on
+    # the tunneled link measured ~2 ms each.
+    packed: jax.Array        # [18] float32
+
+
+# Column layout of ScanOutput.packed.
+PACK_P = slice(0, 3)
+PACK_Q = slice(3, 7)
+PACK_COST = 7
+PACK_IS_BE = 8
+PACK_IS_KF = 9
+PACK_FAIL = 10
+PACK_NTRACK = 11
+PACK_LGOOD = 12
+PACK_LYAW = 13
+PACK_LRET = 14
+PACK_LREL_T = slice(15, 18)
 
 
 def _gather_by_id(dst_ids, src_ids, src_vals, src_valid):
@@ -177,7 +197,8 @@ def vio_scan_step(state: ScanState, pyr, grads,
             state.est.feats.track_id, front.ids, front.obs, front.obs_valid)
         pnp, (p30, q30, _v30) = pnp_mod.pnp_step(
             state.pnp, chunk, obs_l, has_l, cfg, ext, gravity,
-            do_solve=do_solve)
+            do_solve=do_solve,
+            update_preints=(mode != "deadreckon"))
     else:
         pnp = state.pnp
         p30 = state.est.window.p[F - 1]
@@ -245,6 +266,14 @@ def vio_scan_step(state: ScanState, pyr, grads,
         loop=loop,
         solver_budget=state.solver_budget)
 
+    f32 = jnp.float32
+    packed = jnp.concatenate([
+        p_out.astype(f32), q_out.astype(f32),
+        jnp.stack([cost.astype(f32), is_backend.astype(f32),
+                   is_kf.astype(f32), failure.astype(f32),
+                   front.n_tracked.astype(f32), loop_good.astype(f32),
+                   loop_rel_yaw.astype(f32), loop_retired.astype(f32)]),
+        loop_rel_t.astype(f32)])
     out = ScanOutput(
         p=p_out, q=q_out, is_backend=is_backend, is_keyframe=is_kf,
         failure=failure, solver_cost=cost, n_tracked=front.n_tracked,
@@ -252,18 +281,24 @@ def vio_scan_step(state: ScanState, pyr, grads,
         kf_pts_w=kf_pts_w, kf_w_ok=kf_w_ok, kf_ids=tracker.ids,
         point_cloud=pcl, point_valid=pcl_ok,
         loop_good=loop_good, loop_rel_t=loop_rel_t,
-        loop_rel_yaw=loop_rel_yaw, loop_retired=loop_retired)
+        loop_rel_yaw=loop_rel_yaw, loop_retired=loop_retired,
+        packed=packed)
     return new_state, out
 
 
 def run_vio_scan(state: ScanState, imgs: jax.Array,
                  chunks: pre_mod.ImuChunk, cfg: VinsConfig,
                  ext: Extrinsics, gravity: jax.Array,
-                 use_pnp: bool = True) -> Tuple[ScanState, ScanOutput]:
+                 use_pnp: bool = True,
+                 unroll: int = 1) -> Tuple[ScanState, ScanOutput]:
     """Scan a whole staged block of frames: imgs [N,H,W], chunks [N,...].
     ONE compiled program; jit and reuse across blocks. Frame-independent
     image prep runs batched up front (precompute_block); only the truly
-    sequential per-frame pipeline runs in the scan."""
+    sequential per-frame pipeline runs in the scan.
+
+    unroll: lax.scan body unroll factor (freq unrolls one full backend
+    period per scan iteration, trading compile time for per-step
+    overhead)."""
     pyrs, grads = precompute_block(imgs, cfg)
 
     def f(s, xs):
@@ -271,4 +306,4 @@ def run_vio_scan(state: ScanState, imgs: jax.Array,
         return vio_scan_step(s, pyr, grad, chunk, cfg, ext, gravity,
                              use_pnp)
 
-    return jax.lax.scan(f, state, (pyrs, grads, chunks))
+    return jax.lax.scan(f, state, (pyrs, grads, chunks), unroll=unroll)
