@@ -326,6 +326,45 @@ def track_pyramid_pallas(pyr_prev, grads, pyr_next, pts_prev, valid,
     return pts_next, ok[:, 0] > 0, err[:, 0]
 
 
+def _patches_kernel(pts_ref, img_ref, out_ref, *, win: int, H: int,
+                    W: int):
+    """Subpixel-aligned [win,win] patch per keypoint (VMEM-resident
+    image, aligned load + dynamic roll — the same read pattern as the
+    LK kernel). Feeds the BRIEF one-hot-matmul extraction."""
+    i = pl.program_id(0)
+    r = (win - 1) / 2.0
+    p = _bilinear_patch(img_ref, pts_ref[i, 0] - r, pts_ref[i, 1] - r,
+                        win, H, W)
+    out_ref[0] = p
+
+
+@functools.lru_cache(maxsize=None)
+def _build_patches_call(M: int, H: int, W: int, Wp: int, win: int):
+    kernel = functools.partial(_patches_kernel, win=win, H=H, W=W)
+    return pl.pallas_call(
+        kernel,
+        grid=(M,),
+        in_specs=[
+            pl.BlockSpec((M, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, Wp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, win, win), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, win, win), jnp.float32),
+    )
+
+
+def extract_patches_pallas(img: jax.Array, pts: jax.Array,
+                           win: int) -> jax.Array:
+    """[N, win, win] bilinear patches centered at pts ([N,2] pixel xy)."""
+    M = pts.shape[0]
+    H, W = img.shape
+    imgp = _pad_lanes(img)
+    call = _build_patches_call(M, H, W, imgp.shape[1], win)
+    return call(pts.astype(jnp.float32), imgp)
+
+
 def _ncc_kernel(pa_ref, pb_ref, a_ref, b_ref, out_ref,
                 *, win: int, H: int, W: int):
     i = pl.program_id(0)

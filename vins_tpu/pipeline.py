@@ -895,9 +895,15 @@ class VinsSystem:
         if pending_gate is not None:
             self._pending_verify = self.loop.gate_and_dispatch(
                 *pending_gate)
+        self.timings["ins_gate"] = self.timings.get("ins_gate", 0) \
+            + _time.perf_counter() - _t0
+        _ti = _time.perf_counter()
         if self._needs_optimize:
             self.loop.optimize(defer_fetch=True)
             self._needs_optimize = False
+        self.timings["ins_opt"] = self.timings.get("ins_opt", 0) \
+            + _time.perf_counter() - _ti
+        _ti = _time.perf_counter()
         outs, imgs, ts = prep["outs"], prep["imgs"], prep["ts"]
         is_kf_h = prep["is_kf"]
         inserted = []
@@ -916,10 +922,15 @@ class VinsSystem:
                 img_k, p_k, q_k, px_k, v_k, w_k, wok_k,
                 window_ids=ids_k,
                 t=float(ts[k]) if ts is not None else 0.0))
+        self.timings["ins_add"] = self.timings.get("ins_add", 0) \
+            + _time.perf_counter() - _ti
+        _ti = _time.perf_counter()
         # This block's keyframes queue for the NEXT sync's scoring.
         self._pending_detect = inserted
         if inserted:
             self._pending_scores = self.loop.dispatch_scores(inserted)
+        self.timings["ins_scores"] = self.timings.get("ins_scores", 0) \
+            + _time.perf_counter() - _ti
         # Periodic in-stream global BA over the harvested keyframe map
         # (opt-in; see __init__). Runs here — the overlap window — so
         # its device programs queue behind the in-flight scan; the cost
