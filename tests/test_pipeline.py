@@ -305,3 +305,47 @@ def test_pipeline_loop_injection_refines_edge(seq_pack):
     # stays near identity.
     assert sys_._pending_loop is None
     assert np.linalg.norm(sys_.loop.t_drift) < 0.5
+
+
+@pytest.mark.slow
+def test_keyframe_trajectory_export_and_instream_ba(seq_pack):
+    """VERDICT r3 items 8/9: (a) LoopCloser.trajectory() returns the
+    pose-graph-corrected keyframe path — identical to the DB's corrected
+    columns, one combined fetch; (b) the opt-in PERIODIC in-stream
+    global BA (global_ba_every_kf) actually runs during process_stream,
+    sharded over the visible (virtual 8-device) mesh, and keyframe
+    poses stay finite afterwards."""
+    seq, imgs = seq_pack
+    sys_ = VinsSystem(CFG, use_loop=True, ext=seq.ext,
+                      global_ba_every_kf=4)
+    assert sys_._ba_mesh is not None, "virtual mesh not detected"
+    k = 0
+    while k < 60 and not sys_.initialized:
+        chunk = jax.tree.map(lambda x: x[k], seq.chunks)
+        sys_.process_frame(jnp.asarray(imgs[k]), chunk,
+                           t=float(seq.timestamps[k]))
+        k += 1
+    assert sys_.initialized
+    n_frames = 110
+    outs = sys_.process_stream(jnp.asarray(imgs[k:n_frames]),
+                               jax.tree.map(lambda x: x[k:n_frames],
+                                            seq.chunks),
+                               block=12, ts=seq.timestamps[k:n_frames])
+    assert len(outs) == n_frames - k
+    assert getattr(sys_, "ba_runs", 0) >= 1, \
+        "periodic in-stream global BA never ran"
+
+    lc = sys_.loop
+    n = lc.count
+    assert n >= 4
+    t, p, q = lc.trajectory()
+    assert t.shape == (n,) and p.shape == (n, 3) and q.shape == (n, 4)
+    assert np.all(np.isfinite(p)) and np.all(np.isfinite(q))
+    # Matches the corrected DB columns exactly (the consumer-facing
+    # artifact is the same data the pose graph republishes,
+    # keyfame_database.cpp:358).
+    np.testing.assert_array_equal(p, np.asarray(lc.db.p[:n]))
+    np.testing.assert_array_equal(q, np.asarray(lc.db.q[:n]))
+    np.testing.assert_allclose(t, lc._kf_t_np[:n])
+    # Timestamps are the capture stamps (monotone within a segment).
+    assert np.all(np.diff(t) > 0)
