@@ -227,9 +227,14 @@ def _apply_luts_blocked(v: jax.Array, luts: jax.Array, grid: int,
     # Group pixels into half-blocks: [2g*2g, h2*w2].
     vb = v.reshape(g2, h2, g2, w2).transpose(0, 2, 1, 3)
     vb = vb.reshape(g2 * g2, h2 * w2)
-    onehot = jax.nn.one_hot(vb, n_bins, dtype=jnp.float32)  # [B, px, bins]
-    evals = jnp.einsum("bpk,bck->bcp", onehot, corners,
-                       precision=jax.lax.Precision.HIGHEST,
+    # bf16 contraction with f32 accumulation: the one-hot is exact in
+    # bf16 and the LUT values lose ~2^-8 — the same scale as the n_bins
+    # quantization already inherent to CLAHE — while the MXU runs one
+    # pass instead of the six fp32 passes HIGHEST forces (this einsum
+    # was the bulk of the per-frame CLAHE cost).
+    onehot = jax.nn.one_hot(vb, n_bins, dtype=jnp.bfloat16)  # [B, px, bins]
+    evals = jnp.einsum("bpk,bck->bcp", onehot,
+                       corners.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)  # [B, 4, px]
 
     # Un-group back to [4, Hc, Wc].
