@@ -349,3 +349,45 @@ def test_keyframe_trajectory_export_and_instream_ba(seq_pack):
     np.testing.assert_allclose(t, lc._kf_t_np[:n])
     # Timestamps are the capture stamps (monotone within a segment).
     assert np.all(np.diff(t) > 0)
+
+
+@pytest.mark.slow
+def test_block_to_interactive_rebuilds_pnp_preints(seq_pack):
+    """Mode switch after deadreckon block mode: the scan skips the pnp
+    window's per-edge preintegration updates (pnp_step
+    update_preints=False), so the carried preints go stale; the first
+    interactive frame after a block must rebuild them (window_preints)
+    and the 30 Hz motion-only solve must keep tracking."""
+    assert CFG.solver.pnp_stream_solve == "deadreckon"
+    n_frames = 100
+    seq, imgs = seq_pack
+
+    sys_ = VinsSystem(CFG, use_loop=False, ext=seq.ext)
+    k = 0
+    while k < n_frames and not sys_.initialized:
+        chunk = jax.tree.map(lambda x: x[k], seq.chunks)
+        sys_.process_frame(jnp.asarray(imgs[k]), chunk,
+                           t=float(seq.timestamps[k]))
+        k += 1
+    assert sys_.initialized
+
+    e = k + 36
+    sys_.process_block(jnp.asarray(imgs[k:e]),
+                       jax.tree.map(lambda x: x[k:e], seq.chunks),
+                       ts=seq.timestamps[k:e])
+    assert sys_._pnp_preints_stale, "deadreckon block did not mark preints"
+
+    # Interactive tail: the rebuild must happen and the published 30 Hz
+    # poses (pnp-solved on non-backend frames) must track ground truth.
+    outs = []
+    for j in range(e, n_frames):
+        chunk = jax.tree.map(lambda x: x[j], seq.chunks)
+        outs.append(sys_.process_frame(jnp.asarray(imgs[j]), chunk,
+                                       t=float(seq.timestamps[j])))
+    assert not sys_._pnp_preints_stale
+    assert all(o.initialized for o in outs)
+    est_p = np.stack([o.p for o in outs])
+    gt_p = np.asarray(seq.p[e:n_frames])
+    err = np.linalg.norm(est_p - gt_p, axis=-1)
+    assert np.all(np.isfinite(est_p))
+    assert float(err.mean()) < 0.3, f"post-switch drift {err.mean():.3f}"
