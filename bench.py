@@ -90,9 +90,17 @@ def bench_system(cfg, n_frames=528, block=48, seed=7):
     # training happens in this bench.
     F = cfg.window.num_frames
     n_total = n_frames + 48  # lead-in for bootstrap
+    # w=0.7 rad/s → one revolution every ~269 frames: the measured 432
+    # frames cover ~1.6 laps of revisited path, so verified loop hits,
+    # loop-factor window solves, and pose-graph runs all fire INSIDE the
+    # timed region (the r4 bench's w=0.35 circle only closed at the very
+    # end: its liveness counters read zero and the 231 fps number never
+    # paid for geometric verify or the 4-DoF graph). Per-frame motion
+    # (~0.023 rad/frame) matches the accuracy fixture's, which tracks
+    # and closes loops reliably.
     seq = synthetic.make_synthetic_sequence(
         cfg, n_frames=n_total, n_landmarks=300, seed=seed,
-        frame_dt=1.0 / 30.0, traj_kwargs=dict(w=0.35, bob=0.15),
+        frame_dt=1.0 / 30.0, traj_kwargs=dict(w=0.7, bob=0.15),
         imu_per_frame=4)
     # Warm the device<->host transfer path before anything depends on it
     # (the FIRST fetch over a tunneled backend pays a long one-time
@@ -163,6 +171,10 @@ def bench_system(cfg, n_frames=528, block=48, seed=7):
 
     n_meas = n_frames - 2 * block
     sys_.timings = {}  # reset; buckets re-accumulate lazily
+    # Snapshot loop-closure counters so the liveness numbers below are
+    # deltas OVER THE MEASURED REGION only (warmup hits don't count).
+    hits0 = int(sys_.loop.n_loops)
+    opt0 = int(sys_.loop.n_optimizes)
     t0 = time.perf_counter()
     outs = sys_.process_stream(meas_imgs, meas_chunks, block=block)
     dt = time.perf_counter() - t0
@@ -180,10 +192,19 @@ def bench_system(cfg, n_frames=528, block=48, seed=7):
     n_kf = sum(1 for o in outs if o.is_keyframe)
     # Loop-closure liveness in the measured region (the throughput claim
     # covers the FULL system; a bench where detection never fires would
-    # overstate it).
+    # overstate it). HARD gates: the headline number is invalid unless
+    # verified hits AND pose-graph runs happened inside the timed window
+    # (VERDICT r4 item 2) — a trajectory/config change that silently
+    # regresses to loop-free must fail the bench, not inflate it.
+    loop_hits = int(sys_.loop.n_loops) - hits0
+    pose_graph_runs = int(sys_.loop.n_optimizes) - opt0
+    assert loop_hits >= 1, \
+        f"no verified loop hit in the measured region ({loop_hits})"
+    assert pose_graph_runs >= 1, \
+        f"no pose-graph run in the measured region ({pose_graph_runs})"
     budget_extra = {
-        "loop_hits": int(sys_.loop.n_loops),
-        "pose_graph_runs": int(sys_.loop.n_optimizes),
+        "loop_hits": loop_hits,
+        "pose_graph_runs": pose_graph_runs,
         "keyframes_in_db": int(sys_.loop.count),
     }
     tm = sys_.timings
@@ -194,6 +215,111 @@ def bench_system(cfg, n_frames=528, block=48, seed=7):
     budget["n_blocks"] = tm.get("blocks", 0)
     budget.update(budget_extra)
     return n_meas / dt, n_kf, init_path, budget
+
+
+def _timed(fn, *args, reps=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_kernels(cfg):
+    """Per-chip kernel speed-of-light (BASELINE.md measurement row:
+    "BA and KLT kernel speed-of-light per chip"): achieved wall time vs
+    the XLA-cost-analysis roofline (v5e peaks) for the three hot
+    programs — (a) the fused whole-pyramid Pallas KLT track, (b) one
+    backend sliding-window solve, (c) one distributed-BA LM iteration at
+    L=2048 landmarks. sol_fraction = roofline_ms / achieved_ms (1.0 =
+    speed of light; these kernels are latency/serialization-bound at
+    VIO-sized shapes, so the fraction says whether round 6 effort
+    belongs in compute or in launch overhead)."""
+    from vins_tpu.core.preintegration import propagate
+    from vins_tpu.core.state import PriorFactor
+    from vins_tpu.core.solver import WindowProblem, solve_window
+    from vins_tpu.io.synthetic import make_ba_problem, make_synthetic_window
+    from vins_tpu.ops import image as image_mod
+    from vins_tpu.ops import klt_pallas as kp
+    from vins_tpu.parallel.dist_ba import solve_ba
+    from vins_tpu.utils import profiling
+
+    fe = cfg.frontend
+    H, W = cfg.camera.height, cfg.camera.width
+    M = fe.max_features
+    rng = np.random.default_rng(0)
+    out = {}
+
+    def entry(fn, args, reps, per_call_scale=1.0,
+              min_flops=0.0, min_bytes=0.0):
+        """min_flops/min_bytes: analytic floor for programs XLA's cost
+        analysis cannot see into (Pallas kernel bodies report ~0)."""
+        t = _timed(fn, *args, reps=reps) * per_call_scale
+        try:
+            sol = profiling.speed_of_light(fn, *args, measured_s=t)
+        except Exception:
+            sol = {"flops": 0.0, "bytes": 0.0}
+        flops = max(float(sol.get("flops", 0.0)), min_flops)
+        nbytes = max(float(sol.get("bytes", 0.0)), min_bytes)
+        # v5e peaks (fp32 MXU ≈ half the 197 bf16 TFLOP/s; HBM 819 GB/s).
+        bound = max(flops / 98.5e12, nbytes / 819e9)
+        d = {"ms": round(1e3 * t, 3)}
+        if bound > 0:
+            d["roofline_ms"] = round(1e3 * bound * per_call_scale, 4)
+            d["sol_fraction"] = round(bound * per_call_scale / t, 4)
+            d["gflops"] = round(flops / 1e9, 2)
+            d["gbytes"] = round(nbytes / 1e9, 3)
+        return d
+
+    # (a) fused whole-pyramid KLT (one frame's forward track, the scan
+    # runs two per frame: forward + backward check).
+    img0 = jnp.asarray(rng.random((H, W)), jnp.float32)
+    img1 = jnp.roll(img0, (2, 3), (0, 1))
+    pyr0 = list(image_mod.build_pyramid(img0, fe.pyramid_levels))
+    pyr1 = list(image_mod.build_pyramid(img1, fe.pyramid_levels))
+    grads = [image_mod.sobel_gradients(p) for p in pyr0]
+    pts = jnp.asarray(rng.uniform(40, min(H, W) - 40, (M, 2)), jnp.float32)
+    valid = jnp.ones((M,), bool)
+    klt = jax.jit(lambda p: kp.track_pyramid_pallas(
+        pyr0, grads, pyr1, p, valid, fe.klt_window, fe.klt_iters,
+        fe.klt_eps))
+    # Pallas kernel bodies are opaque to XLA cost analysis — analytic
+    # floor: the kernel must touch all 4 image planes per level once
+    # (bytes) and run ~30 flops per LK-window tap per iteration.
+    lvl_px = sum(H * W / 4 ** l for l in range(fe.pyramid_levels))
+    klt_bytes = 4.0 * 4 * lvl_px
+    klt_flops = (30.0 * M * fe.pyramid_levels * fe.klt_iters
+                 * fe.klt_window ** 2)
+    out["klt_pyramid"] = entry(klt, (pts,), 30, min_flops=klt_flops,
+                               min_bytes=klt_bytes)
+
+    # (b) one backend window solve (the 10 Hz solve_ceres analog) at the
+    # shipped compiled shape (F frames x max_landmarks slots).
+    syn = make_synthetic_window(cfg, n_landmarks=min(
+        96, cfg.window.max_landmarks), seed=3)
+    F = cfg.window.num_frames
+    preints = jax.vmap(lambda c: propagate(
+        c, jnp.zeros(3), jnp.zeros(3), cfg.imu))(syn.chunks)
+    prob = WindowProblem(
+        feats=syn.feats, preints=preints, prior=PriorFactor.empty(F),
+        ext=syn.ext, gravity=syn.gravity,
+        sqrt_info_proj=jnp.asarray(cfg.camera.focal / 1.5),
+        frame_free=jnp.ones(F))
+    wsolve = jax.jit(lambda s, p: solve_window(s, p, cfg))
+    out["window_solve"] = entry(wsolve, (syn.state, prob), 20)
+
+    # (c) one global-BA LM iteration at L=2048 (the scale-out unit of
+    # parallel/dist_ba; measured single-chip, per-iteration).
+    it = 8
+    _, init, bprob = make_ba_problem(n_poses=64, n_landmarks=2048,
+                                     seed=0, noise_px=0.5,
+                                     pose_noise=0.05, point_noise=0.05)
+    ba = jax.jit(lambda s, p: solve_ba(s, p, iters=it)[0].p)
+    out["ba_iteration_L2048"] = entry(ba, (init, bprob), 5,
+                                      per_call_scale=1.0 / it)
+    return out
 
 
 def main():
@@ -219,6 +345,11 @@ def main():
         }))
         return 1
     vio_fps = bench_backend(cfg)
+    try:
+        kernels = bench_kernels(cfg)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        kernels = {"error": "kernel speed-of-light pass failed"}
 
     result = {
         "metric": "system_frames_per_s",
@@ -229,6 +360,7 @@ def main():
         "keyframes_in_measurement": n_kf,
         "init_path": init_path,
         "stage_budget": budget,
+        "kernels": kernels,
     }
     print(json.dumps(result))
     return 0

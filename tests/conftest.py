@@ -63,18 +63,22 @@ def render_cached(cfg, n_frames, seed, frame_dt, traj_kwargs,
 
 
 def asl_fixture_cached(n_frames, seed, cam_hz=20.0, traj_kwargs=None,
-                       cfg=None):
+                       cfg=None, **noise_kwargs):
     """Persistent ASL-fixture tree (PNG renders + csvs are the slow
     part — ~minutes for the 360-frame revisit on a 2-core host): the
     tree is generated once under tests/.render_cache and reused across
-    test sessions. Returns (root, FixtureTruth)."""
+    test sessions. noise_kwargs (gyr_noise/gyr_walk/acc_noise/acc_walk/
+    image_noise) pass through to generate_asl_fixture and key the cache
+    — the drift-visible fixtures crank the IMU random walk. Returns
+    (root, FixtureTruth)."""
     from vins_tpu.config import euroc_config
     from vins_tpu.io.asl_fixture import FixtureTruth, generate_asl_fixture
 
     cfg = cfg or euroc_config()
     key = (f"asl_n{n_frames}_s{seed}_hz{cam_hz:g}_"
            + "_".join(f"{k}{v}" for k, v in
-                      sorted((traj_kwargs or {}).items())))
+                      sorted((traj_kwargs or {}).items()))
+           + "".join(f"_{k}{v:g}" for k, v in sorted(noise_kwargs.items())))
     root = os.path.join(_RENDER_CACHE, key)
     truth_npz = os.path.join(root, "truth.npz")
     if os.path.exists(truth_npz):
@@ -83,7 +87,7 @@ def asl_fixture_cached(n_frames, seed, cam_hz=20.0, traj_kwargs=None,
                                       q=z["q"])
     truth = generate_asl_fixture(root, cfg, n_frames=n_frames,
                                  cam_hz=cam_hz, seed=seed,
-                                 traj_kwargs=traj_kwargs)
+                                 traj_kwargs=traj_kwargs, **noise_kwargs)
     tmp = truth_npz + f".tmp{os.getpid()}.npz"
     np.savez_compressed(tmp, cam_ts=truth.cam_ts, p=truth.p, q=truth.q)
     os.replace(tmp, truth_npz)

@@ -87,7 +87,10 @@ def test_run_euroc_end_to_end(tmp_path):
                              "--out", str(tmp_path / "out")])
     assert result["frames"] == 79
     assert "ate_rmse" in result, "system never initialized on the fixture"
-    assert result["ate_rmse"] < 0.15, result
+    # Measured ~0.07 on this fixture (r4); 0.10 = measured + ~40% so a
+    # 1.5x accuracy regression fails CI (VERDICT r4 item 6; the old 0.15
+    # gate would have passed a 2x regression).
+    assert result["ate_rmse"] < 0.10, result
 
 
 @pytest.mark.slow
@@ -123,7 +126,9 @@ def test_run_euroc_revisit_loop_closure(tmp_path):
     # bounded; the retroactive map correction below is the real gate).
     assert result["ate_rmse"] <= result["ate_rmse_raw"] * 1.05 + 1e-3, \
         result
-    assert result["ate_rmse"] < 0.3, result
+    # Measured 0.146 (ACCURACY_r04); 0.18 = measured + ~25% margin
+    # (VERDICT r4 item 6 — the old 0.3 gate passed a 2x regression).
+    assert result["ate_rmse"] < 0.18, result
     # The pose-graph-corrected keyframe map must BEAT the raw odometry
     # keyframes (the reference's loop-closure accuracy effect:
     # keyfame_database.cpp:140-356 corrects the past trajectory).
@@ -139,3 +144,38 @@ def test_run_euroc_revisit_loop_closure(tmp_path):
     # the mesh's block axis) — VERDICT r3 item 8.
     import jax as _jax
     assert result["global_ba_devices"] == len(_jax.devices()), result
+
+
+@pytest.mark.slow
+def test_run_euroc_drift_correction_improves_published_path(tmp_path):
+    """VERDICT r4 item 3: loop closure must IMPROVE the published
+    trajectory, not merely not hurt it. The fixture carries a 1.5% gyro
+    scale-factor error — an un-modeled systematic the estimator's
+    online bias states cannot absorb — so raw VIO accrues real yaw
+    drift over 2 laps; the pose-graph drift correction applied to the
+    published poses (update_loop_correction, VINS.cpp:307-331 +
+    keyfame_database.cpp:140-356) must cut ATE by a real margin."""
+    from examples import run_euroc
+
+    from conftest import asl_fixture_cached
+
+    root, _ = asl_fixture_cached(
+        n_frames=600, seed=11, cam_hz=20.0,
+        traj_kwargs=dict(w=0.42, bob=0.2, bob_w=1.9),
+        gyr_scale=1.015, gyr_walk=1e-4)
+    result = run_euroc.main(["--root", root, "--stream", "--global-ba",
+                             "--loop-freq", "1",
+                             "--out", str(tmp_path / "out")])
+    assert result["frames"] == 599
+    assert "ate_rmse" in result, "system never initialized on the fixture"
+    assert result["loop_hits"] >= 1, result
+    # Drift must actually be VISIBLE on this fixture — otherwise the
+    # correction gate below is vacuous (the r4 revisit fixture measured
+    # ate == ate_raw to 4 decimals because raw VIO barely drifted).
+    assert result["ate_rmse_raw"] >= 0.25, result
+    # The published (drift-corrected) trajectory beats raw VIO by >=30%.
+    assert result["ate_rmse"] <= 0.7 * result["ate_rmse_raw"], result
+    # And the corrected keyframe map beats the raw odometry keyframes.
+    assert result["kf_ate_pre_ba"] <= 0.7 * result["kf_ate_raw"], result
+    assert result["kf_ate_post_ba"] <= result["kf_ate_pre_ba"] * 1.1 \
+        + 5e-3, result

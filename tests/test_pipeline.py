@@ -34,18 +34,26 @@ def seq_pack():
 
 
 
-@pytest.mark.slow
-def test_full_pipeline_initializes_and_tracks(seq_pack):
-    n_frames = 70
+@pytest.fixture(scope="module")
+def interactive_run(seq_pack):
+    """One shared 100-frame fully-interactive run (deterministic): the
+    tracking test slices it and the block/interactive parity test uses
+    it as the uninterrupted twin."""
     seq, imgs = seq_pack
-
     sys_ = VinsSystem(CFG, use_loop=False, ext=seq.ext)
     outs = []
-    for k in range(n_frames):
+    for k in range(100):
         chunk = jax.tree.map(lambda x: x[k], seq.chunks)
-        out = sys_.process_frame(jnp.asarray(imgs[k]), chunk,
-                                 t=float(seq.timestamps[k]))
-        outs.append(out)
+        outs.append(sys_.process_frame(jnp.asarray(imgs[k]), chunk,
+                                       t=float(seq.timestamps[k])))
+    return outs
+
+
+@pytest.mark.slow
+def test_full_pipeline_initializes_and_tracks(seq_pack, interactive_run):
+    n_frames = 70
+    seq, _ = seq_pack
+    outs = interactive_run[:n_frames]
 
     init_at = next((i for i, o in enumerate(outs) if o.initialized), None)
     assert init_at is not None, "system never initialized"
@@ -271,7 +279,7 @@ def test_pipeline_loop_injection_refines_edge(seq_pack):
     yaw_old = float(np.arctan2(
         *np.asarray(lie.quat_to_rotmat(jnp.asarray(old_q)))[[1, 0], 0]))
     sys_._pending_loop = {
-        "edge": 0, "old_idx": 0, "ttl": F,
+        "edge_abs": 0, "old_idx": 0, "ttl": F,
         "dev": LoopInput(obs_old=jnp.asarray(obs_old),
                          ok=jnp.asarray(vis), ids=jnp.asarray(tid),
                          # drift-free staged loop: old pose == the loop
@@ -352,12 +360,23 @@ def test_keyframe_trajectory_export_and_instream_ba(seq_pack):
 
 
 @pytest.mark.slow
-def test_block_to_interactive_rebuilds_pnp_preints(seq_pack):
+def test_block_to_interactive_rebuilds_pnp_preints(seq_pack,
+                                                   interactive_run):
     """Mode switch after deadreckon block mode: the scan skips the pnp
     window's per-edge preintegration updates (pnp_step
     update_preints=False), so the carried preints go stale; the first
     interactive frame after a block must rebuild them (window_preints)
-    and the 30 Hz motion-only solve must keep tracking."""
+    and the 30 Hz motion-only solve must keep tracking.
+
+    Seamlessness is asserted as PARITY against the uninterrupted
+    interactive twin (same frames, same deterministic init, hence the
+    same gauge): the reference has no mode boundary at all
+    (vins_pnp.cpp:264-341), so (block + interactive tail) must publish
+    the same trajectory. Raw comparison against absolute ground truth
+    is NOT meaningful here — the VIO gauge (position + yaw of the first
+    window frame) is unobservable, so only gauge-aligned ATE and
+    twin-parity are asserted (the round-4 version of this test asserted
+    the gauge and failed by ~1.5 m while actual twin parity was 2 cm)."""
     assert CFG.solver.pnp_stream_solve == "deadreckon"
     n_frames = 100
     seq, imgs = seq_pack
@@ -370,15 +389,20 @@ def test_block_to_interactive_rebuilds_pnp_preints(seq_pack):
                            t=float(seq.timestamps[k]))
         k += 1
     assert sys_.initialized
+    # Identical deterministic prefix → identical gauge as the twin.
+    init_at = next(i for i, o in enumerate(interactive_run)
+                   if o.initialized)
+    assert init_at == k - 1, "twin diverged during bootstrap"
 
     e = k + 36
-    sys_.process_block(jnp.asarray(imgs[k:e]),
-                       jax.tree.map(lambda x: x[k:e], seq.chunks),
-                       ts=seq.timestamps[k:e])
+    outs_blk = sys_.process_block(jnp.asarray(imgs[k:e]),
+                                  jax.tree.map(lambda x: x[k:e],
+                                               seq.chunks),
+                                  ts=seq.timestamps[k:e])
     assert sys_._pnp_preints_stale, "deadreckon block did not mark preints"
 
     # Interactive tail: the rebuild must happen and the published 30 Hz
-    # poses (pnp-solved on non-backend frames) must track ground truth.
+    # poses (pnp-solved on non-backend frames) must keep tracking.
     outs = []
     for j in range(e, n_frames):
         chunk = jax.tree.map(lambda x: x[j], seq.chunks)
@@ -386,8 +410,19 @@ def test_block_to_interactive_rebuilds_pnp_preints(seq_pack):
                                        t=float(seq.timestamps[j])))
     assert not sys_._pnp_preints_stale
     assert all(o.initialized for o in outs)
-    est_p = np.stack([o.p for o in outs])
-    gt_p = np.asarray(seq.p[e:n_frames])
-    err = np.linalg.norm(est_p - gt_p, axis=-1)
-    assert np.all(np.isfinite(est_p))
-    assert float(err.mean()) < 0.3, f"post-switch drift {err.mean():.3f}"
+
+    # Parity vs the uninterrupted twin, same gauge (measured 7 mm mean
+    # in-block, 19 mm post-switch; gate leaves margin for backend/
+    # platform numerics, not for a real boundary bug).
+    twin_p = np.stack([o.p for o in interactive_run[k:]])
+    run_p = np.stack([o.p for o in outs_blk] + [o.p for o in outs])
+    assert np.all(np.isfinite(run_p))
+    d = np.linalg.norm(run_p - twin_p, axis=-1)
+    assert float(d[:36].mean()) < 0.10, \
+        f"block-mode parity broke: {d[:36].mean():.3f} m"
+    assert float(d[36:].mean()) < 0.10, \
+        f"post-switch parity broke: {d[36:].mean():.3f} m"
+    # And the whole (block + tail) path must track ground truth after
+    # gauge alignment (measured 0.082).
+    res = evaluate.ate_rmse(run_p, np.asarray(seq.p[k:n_frames]))
+    assert res.rmse < 0.12, f"block+tail ATE {res.rmse:.3f}"

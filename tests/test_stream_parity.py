@@ -108,7 +108,7 @@ def test_stream_loop_injection_refines_edge(seq_pack):
     yaw_old = float(np.arctan2(
         *np.asarray(lie.quat_to_rotmat(jnp.asarray(old_q)))[[1, 0], 0]))
     sys_._pending_loop = {
-        "edge": 0, "old_idx": 0, "ttl": F,
+        "edge_abs": 0, "old_idx": 0, "ttl": F,
         "dev": LoopInput(obs_old=jnp.asarray(obs_old),
                          ok=jnp.asarray(vis), ids=jnp.asarray(tid),
                          # drift-free staged loop: old pose == the loop

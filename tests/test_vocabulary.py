@@ -343,17 +343,19 @@ def test_place_recognition_soak_500kf_with_resample():
                     np.asarray(lc.db.p_origin[best]) - place_p[pl])
                 correct += d < 1.5
     assert lc.count < n_total, "resample never fired at the 512 cap"
-    recall = predicted / eligible
+    # Dedup-aware recall (VERDICT r4 item 8): a query recalls its place
+    # if the gated match is ANY alias of the true place (spatial test —
+    # `correct` counts exactly that), over all eligible queries. The
+    # r4 gate (predicted/eligible >= 0.15) was near-vacuous because the
+    # entry-id temporal-consistency test suppressed cross-lap
+    # re-matches; the place-proximity consistency alternative
+    # (LoopConfig.temporal_spatial_m) restores them, so the gate is now
+    # meaningful at >= 0.5.
+    recall = correct / eligible
     early_recall = early_pred / early_elig
     precision = correct / max(predicted, 1)
-    # Recall profile matches the reference's detector semantics: the
-    # entry-id-based temporal-consistency test (TemplatedLoopDetector's
-    # k-consistency) suppresses cross-lap re-matches once a place has
-    # MANY aliased copies at distant entry ids, so full-soak recall is
-    # structurally lower than early-lap recall. Precision is the gate
-    # that protects the pose graph and must hold at full scale.
     assert early_recall >= 0.4, f"early-lap recall {early_recall:.2f}"
-    assert recall >= 0.15, f"soak recall {recall:.2f}"
+    assert recall >= 0.5, f"soak dedup-aware recall {recall:.2f}"
     assert precision >= 0.9, \
         f"soak precision {precision:.2f} (recall {recall:.2f}, " \
         f"early {early_recall:.2f})"

@@ -87,6 +87,12 @@ class SolverConfig:
     """
 
     max_iters: int = 8
+    # Floor for the runtime backpressure budget: real-time streaming
+    # degrades the LM iteration budget from max_iters toward this when
+    # blocks fall behind the camera rate (the reference's 60→40→30 ms
+    # solver-cap ladder bottoms out the same way, global_param.cpp:34,
+    # VINS.cpp:646-653).
+    min_iters: int = 3
     # Levenberg-Marquardt damping schedule.
     lambda_init: float = 1e-4
     lambda_up: float = 10.0
@@ -209,6 +215,14 @@ class LoopConfig:
     temporal_radius: int = 10        # consecutive-query match proximity for
                                      # the temporal-consistency k test
                                      # (TemplatedLoopDetector.h:668-877)
+    # Spatial alternative for the temporal-consistency test: consecutive
+    # queries whose matches are within this many meters of each other
+    # are consistent even if their ENTRY ids are far apart. The
+    # reference's entry-id proximity assumes each place appears once in
+    # the DB; after distance resampling + multi-lap revisits a place has
+    # aliased copies at scattered entry ids, and pure index proximity
+    # suppressed ~70% of true cross-lap re-matches (r4 soak).
+    temporal_spatial_m: float = 2.5
     yaw_reject_deg: float = 30.0     # loop sanity: |yaw|>30° rejected
     trans_reject_m: float = 10.0     # loop sanity: |t|>10 m rejected
     pose_graph_iters: int = 12

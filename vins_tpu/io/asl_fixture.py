@@ -68,11 +68,19 @@ def generate_asl_fixture(root: str,
                          gyr_walk: float = 2e-5,
                          acc_walk: float = 2e-4,
                          image_noise: float = 0.004,
+                         gyr_scale: float = 1.0,
                          traj_kwargs: Optional[dict] = None
                          ) -> FixtureTruth:
     """Write a full ASL-layout sequence under `root` and return the ground
     truth at camera stamps. Noise sigmas are per-sample (rad/s, m/s²);
-    walk sigmas are per-√s random-walk densities."""
+    walk sigmas are per-√s random-walk densities.
+
+    gyr_scale: gyroscope scale-factor error (1.015 = reads 1.5% high —
+    a realistic MEMS systematic that is NOT in the estimator's model, so
+    unlike bias walk it cannot be absorbed by online bias estimation:
+    yaw drift accrues proportionally to total rotation, exactly the
+    failure mode the 4-DoF pose graph exists to correct,
+    keyfame_database.cpp:140-356). 1.0 = calibrated."""
     cfg = cfg or euroc_config()
     cam = cfg.camera
     rng = np.random.default_rng(seed)
@@ -126,7 +134,8 @@ def generate_asl_fixture(root: str,
     dt = 1.0 / imu_hz
     bg = np.cumsum(rng.normal(size=w_body.shape) * gyr_walk * np.sqrt(dt), 0)
     ba = np.cumsum(rng.normal(size=f_body.shape) * acc_walk * np.sqrt(dt), 0)
-    gyr_meas = w_body + bg + rng.normal(size=w_body.shape) * gyr_noise
+    gyr_meas = (gyr_scale * w_body + bg
+                + rng.normal(size=w_body.shape) * gyr_noise)
     acc_meas = f_body + ba + rng.normal(size=f_body.shape) * acc_noise
 
     # ---- camera stream ----------------------------------------------------

@@ -124,6 +124,10 @@ class LoopHit(NamedTuple):
     # Track ids of the current keyframe's feature rows (staging joins
     # the matches to the live landmark table by these).
     tids: np.ndarray = None    # [Nm] int32
+    # ABSOLUTE id of the pose-graph edge this hit created (stable across
+    # edge-table evictions; resolve to a live row via
+    # LoopCloser.edge_index). -1 = no edge recorded.
+    edge_abs: int = -1
 
 
 def extract_keyframe_features(img: jax.Array, cfg: VinsConfig,
@@ -266,6 +270,26 @@ def _verify_hit(db: KeyframeDB, cur, old, key, tic, qic, *, max_dist,
             db.tid[cur])
 
 
+# Fixed batch width for the fused multi-candidate verification program
+# (gate_and_dispatch pads to this; per-candidate dispatch over the
+# tunneled link measured ~5-15 ms of host marshaling EACH — one batched
+# program replaces C of them, VERDICT r4 item 7).
+_VERIFY_PAD = 4
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist", "ratio", "hyps"))
+def _verify_hits_batch(db: KeyframeDB, curs, olds, keys, tic, qic, *,
+                       max_dist, ratio, hyps, thresh_sq, max_msr):
+    """vmapped _verify_hit over a padded candidate batch: curs/olds
+    [C] int32, keys [C] PRNG keys. ONE dispatch + one fetch for every
+    candidate gated in a block."""
+    return jax.vmap(
+        lambda c, o, k: _verify_hit(
+            db, c, o, k, tic, qic, max_dist=max_dist, ratio=ratio,
+            hyps=hyps, thresh_sq=thresh_sq, max_msr=max_msr)
+    )(curs, olds, keys)
+
+
 @jax.jit
 def _loop_relative_pose(db: KeyframeDB, cur, old, match_idx, match_ok,
                         tic, qic, max_msr):
@@ -350,6 +374,21 @@ class LoopCloser:
         self.count = 0
         self._segments_np = np.zeros(K, np.int32)
         self._kf_t_np = np.zeros(K, np.float64)  # capture stamps (eval)
+        # Stable keyframe identity across resample() compaction: row
+        # indices captured by in-flight (deferred) detection/verify work
+        # go stale when the 512-cap compaction remaps rows mid-stream;
+        # UIDs let consumers re-resolve (or drop) them (ADVICE r4 #1).
+        self.generation = 0          # bumped by every resample()
+        self._uid_np = np.full(K, -1, np.int64)
+        self._next_uid = 0
+        # Host mirror of keyframe positions (raw odometry frame): the
+        # detection gate's spatial temporal-consistency test reads it
+        # every query — a device fetch there would sync on the in-flight
+        # scan. Callers on the hot path pass p_host (already fetched).
+        self._kf_p_np = np.zeros((K, 3), np.float32)
+        # Loop-edge eviction count: absolute edge id - n_edges_evicted =
+        # live row in the rolled edge table (see edge_index).
+        self.n_edges_evicted = 0
         self._r_drift_dev = jnp.eye(3, dtype=jnp.float32)
         self._t_drift_dev = jnp.zeros(3, jnp.float32)
         # Device-resident verify constants (one upload; per-dispatch
@@ -408,8 +447,11 @@ class LoopCloser:
                 sds((Q, self.db.gdesc.shape[1]), f32)).compile()
         key_s = st(self.key)
         idx_s = sds((), i32)
-        _verify_hit.lower(
-            db_s, idx_s, idx_s, key_s, st(self.tic), st(self.qic),
+        C = _VERIFY_PAD
+        keys_s = sds((C,) + jnp.shape(self.key), self.key.dtype)
+        _verify_hits_batch.lower(
+            db_s, sds((C,), i32), sds((C,), i32), keys_s,
+            st(self.tic), st(self.qic),
             max_dist=lp.match_max_dist, ratio=lp.match_ratio,
             hyps=lp.geo_ransac_hyps, thresh_sq=sds((), f32),
             max_msr=sds((), f32)).compile()
@@ -445,14 +487,18 @@ class LoopCloser:
 
     def add_keyframe(self, img, p, q, window_pts_px, window_pts_ok,
                      window_pts_w, window_pts_w_ok,
-                     window_ids=None, t: float = 0.0) -> int:
+                     window_ids=None, t: float = 0.0,
+                     p_host=None) -> int:
         """Insert a keyframe; returns its slot index.
 
         p/q: VIO pose (body in world); window_*: the sliding window's
         tracked features at this frame with their world points;
         window_ids: [Mw] global track ids of the window rows (enables
         cross-keyframe landmark association for global BA);
-        t: capture timestamp (seconds; evaluation/export only).
+        t: capture timestamp (seconds; evaluation/export only);
+        p_host: host copy of p, if the caller already fetched it (block
+        mode must — a device_get here would block on the in-flight
+        scan); when None, p is fetched (fine off the streaming path).
         """
         if self.count == 0:
             # Lazy re-sync of the host count mirror: tests/tools may seed
@@ -482,10 +528,38 @@ class LoopCloser:
                 self.db, self.graph, self.bow, *args)
         self._segments_np[idx] = self.segment
         self._kf_t_np[idx] = t
+        self._kf_p_np[idx] = (np.asarray(p_host, np.float32)
+                              if p_host is not None
+                              else np.asarray(jax.device_get(p),
+                                              np.float32))
+        self._uid_np[idx] = self._next_uid
+        self._next_uid += 1
         self.count = max(self.count, idx + 1)
         if self.vocab is None:
             self._maybe_train_vocab()
         return idx
+
+    # -- stable identity ---------------------------------------------------
+
+    def uid_of(self, idx: int) -> int:
+        """Stable UID of the keyframe currently in row idx."""
+        return int(self._uid_np[idx])
+
+    def row_of(self, uid: int) -> int:
+        """Current row of a keyframe UID, or -1 if resampled away."""
+        rows = np.flatnonzero(self._uid_np[:self.count] == uid)
+        return int(rows[0]) if len(rows) else -1
+
+    def rows_of(self, uids) -> list:
+        """Current rows for a UID list, dropping resampled-away frames."""
+        return [r for r in (self.row_of(u) for u in uids) if r >= 0]
+
+    def edge_index(self, edge_abs: int) -> int:
+        """Live edge-table row for an absolute edge id, -1 if evicted."""
+        if edge_abs < 0:
+            return -1
+        e = edge_abs - self.n_edges_evicted
+        return e if 0 <= e < self.n_loops else -1
 
     # -- detection ---------------------------------------------------------
 
@@ -567,31 +641,63 @@ class LoopCloser:
         scores_all = np.asarray(scores_all)
         best_of = [self._gate(int(cur), scores_all[i].copy(), floor)
                    for i, cur in enumerate(idxs)]
-        pend = []
-        for cur, best in zip(idxs, best_of):
-            if best is None:
-                pend.append(None)
-                continue
-            pend.append(self._dispatch_verify(int(cur), best))
-        return (list(idxs), best_of, pend)
+        # Batch every gated candidate into ONE fused verification
+        # program (padded to _VERIFY_PAD; per-candidate dispatches cost
+        # ~5-15 ms of host marshaling each over the tunneled link).
+        gated = [(int(cur), best) for cur, best in zip(idxs, best_of)
+                 if best is not None]
+        uid_pairs = [None if best is None
+                     else (self.uid_of(int(cur)), self.uid_of(best))
+                     for cur, best in zip(idxs, best_of)]
+        batch = None
+        markers = []
+        if gated:
+            batch = self._dispatch_verify_batch(gated)
+        j = 0
+        for best in best_of:
+            markers.append(None if best is None else j)
+            j += best is not None
+        # Generation stamp + UID pairs: a resample() between this
+        # dispatch and finish_detect compacts DB rows; the dispatched
+        # verify programs captured the (immutable) pre-compaction device
+        # buffers, so their GEOMETRY stays valid, but the row indices
+        # recorded into LoopHit/pose-graph edges must be re-resolved —
+        # or the pend dropped — at finish time (ADVICE r4 #1).
+        return (list(idxs), best_of, (markers, batch),
+                self.generation, uid_pairs)
 
     @staticmethod
     def pending_verify_handles(pend) -> list:
-        """Device handles of a gate_and_dispatch result (fetch these)."""
-        return [d for d in pend[2] if d is not None]
+        """Device handles of a gate_and_dispatch result (fetch these):
+        the single batched verify result, or [] if nothing was gated."""
+        _, batch = pend[2]
+        return [batch] if batch is not None else []
 
     def finish_detect(self, pend, fetched) -> list:
         """Phase 2: thresholds + LoopHit assembly from the FETCHED
         verify results (host-only). fetched = device_get of
-        pending_verify_handles(pend)."""
-        idxs, best_of, handles = pend
-        out, j = [], 0
-        for cur, best, d in zip(idxs, best_of, handles):
-            if d is None:
+        pending_verify_handles(pend).
+
+        If a resample() fired since gate_and_dispatch, the captured row
+        indices are remapped through the keyframe UIDs; entries whose
+        endpoints were resampled away are dropped (their verify result
+        is still consumed so `fetched` stays aligned)."""
+        idxs, best_of, (markers, _batch), gen, uid_pairs = pend
+        stale = gen != self.generation
+        batch_h = fetched[0] if fetched else None
+        out = []
+        for cur, best, mk, up in zip(idxs, best_of, markers, uid_pairs):
+            if mk is None:
                 out.append(None)
                 continue
-            out.append(self._finish_verify(int(cur), best, fetched[j]))
-            j += 1
+            cur_r, best_r = int(cur), best
+            if stale:
+                cur_r, best_r = self.row_of(up[0]), self.row_of(up[1])
+                if cur_r < 0 or best_r < 0:
+                    out.append(None)
+                    continue
+            row = tuple(leaf[mk] for leaf in batch_h)
+            out.append(self._finish_verify(cur_r, best_r, row))
         return out
 
     def _gate(self, cur_idx: int, scores: np.ndarray,
@@ -625,26 +731,40 @@ class LoopCloser:
         best_island = max(islands, key=lambda isl: scores[isl].sum())
         best = int(best_island[np.argmax(scores[best_island])])
 
-        # Temporal consistency (k=1): previous query matched nearby
-        # (previous island overlaps / is adjacent to this one).
+        # Temporal consistency (k=1): previous query matched nearby —
+        # by ENTRY id (previous island overlaps / is adjacent, the
+        # reference's test) OR by PLACE (the matched keyframes are
+        # spatially close): after distance resampling + multi-lap
+        # revisits the same place has aliased DB copies at scattered
+        # entry ids, and index proximity alone suppressed most true
+        # cross-lap re-matches (r4 soak recall 0.15 → dedup-aware ≥0.5).
         consistent = (self.last_match is not None
-                      and abs(self.last_match - best) <= lp.temporal_radius)
+                      and (abs(self.last_match - best) <= lp.temporal_radius
+                           or np.linalg.norm(self._kf_p_np[self.last_match]
+                                             - self._kf_p_np[best])
+                           <= lp.temporal_spatial_m))
         self.last_match = best
         if lp.temporal_k > 0 and not consistent:
             return None
         return best
 
-    def _dispatch_verify(self, cur_idx: int, best: int):
-        """Async half of geometric verification + relative pose +
-        hit-data gather: ONE fused program; returns DEVICE handles.
+    def _dispatch_verify_batch(self, pairs):
+        """Async geometric verification + relative pose + hit-data
+        gather for every gated (cur, old) pair in ONE fused program
+        (padded to _VERIFY_PAD; pad rows repeat the first pair and are
+        never read back). Returns DEVICE handles, each leaf [C, ...].
         Explicit dtypes so the runtime avals match the warm()-compiled
         signatures (weak-typed scalars would miss the in-process jit
         cache and re-trace on the first hit)."""
         lp = self.cfg.loop
-        self.key, sub = jax.random.split(self.key)
-        return _verify_hit(
-            self.db, jnp.asarray(cur_idx, jnp.int32),
-            jnp.asarray(best, jnp.int32), sub, self.tic, self.qic,
+        C = _VERIFY_PAD * (-(-len(pairs) // _VERIFY_PAD))
+        padded = list(pairs) + [pairs[0]] * (C - len(pairs))
+        keys = jax.random.split(self.key, C + 1)
+        self.key = keys[0]
+        curs = jnp.asarray(np.asarray([p[0] for p in padded], np.int32))
+        olds = jnp.asarray(np.asarray([p[1] for p in padded], np.int32))
+        return _verify_hits_batch(
+            self.db, curs, olds, keys[1:], self.tic, self.qic,
             max_dist=lp.match_max_dist, ratio=lp.match_ratio,
             hyps=lp.geo_ransac_hyps,
             thresh_sq=self._thresh_sq_dev,
@@ -671,8 +791,7 @@ class LoopCloser:
             pts_w=pts_w_cur, obs_old=obs_old_g, match_ok=match_ok_g,
             p_old=p_old, q_old=q_old, p_cur=p_cur, q_cur=q_cur,
             tids=tid_cur)
-        self._add_loop_edge(hit)
-        return hit
+        return hit._replace(edge_abs=self._add_loop_edge(hit))
 
     # -- pose graph --------------------------------------------------------
 
@@ -687,7 +806,9 @@ class LoopCloser:
     W_TENTATIVE = 0.02
     W_REFINED = 1.0
 
-    def _add_loop_edge(self, hit: LoopHit):
+    def _add_loop_edge(self, hit: LoopHit) -> int:
+        """Record the hit as a (tentative) pose-graph edge; returns the
+        edge's ABSOLUTE id (stable across evictions, see edge_index)."""
         e = self.n_loops
         E = self.graph.loop_w.shape[0]
         if e >= E:
@@ -705,6 +826,7 @@ class LoopCloser:
                 loop_w=jnp.roll(g.loop_w, -1))
             self.n_loops = e = E - 1
             self._loop_i_host.pop(0)
+            self.n_edges_evicted += 1
         # ONE traced-index program: eager .at[e].set compiles (and
         # remote-loads) a separate program per distinct edge index —
         # measured as tens of ms/block on the streaming critical path.
@@ -717,6 +839,7 @@ class LoopCloser:
             jnp.asarray(self.W_TENTATIVE, self.graph.loop_w.dtype))
         self.n_loops += 1
         self._loop_i_host.append(int(hit.old_idx))
+        return self.n_loops - 1 + self.n_edges_evicted
 
     def update_loop_edge(self, e: int, t_rel: np.ndarray, yaw_rel: float):
         """Refine an existing loop edge with the window-solve-derived
@@ -947,3 +1070,12 @@ class LoopCloser:
         t_old = self._kf_t_np
         self._kf_t_np = np.zeros(K, np.float64)
         self._kf_t_np[:m] = t_old[old_idx]
+        uid_old = self._uid_np
+        self._uid_np = np.full(K, -1, np.int64)
+        self._uid_np[:m] = uid_old[old_idx]
+        p_old = self._kf_p_np
+        self._kf_p_np = np.zeros((K, 3), np.float32)
+        self._kf_p_np[:m] = p_old[old_idx]
+        # Invalidate in-flight row-index captures (gate_and_dispatch
+        # pends, insert lists): consumers re-resolve via UIDs or drop.
+        self.generation += 1

@@ -91,7 +91,13 @@ def extract_brief(img: jax.Array, pts: jax.Array, valid: jax.Array,
 
         patches = extract_patches_pallas(smoothed, pts, _PATCH_WIN)
         flat = patches.reshape(pts.shape[0], _PATCH_WIN * _PATCH_WIN)
-        diff = flat @ jnp.asarray(_CMP_W)          # [N, 256]
+        # HIGHEST precision: default TPU matmul truncates intensities
+        # to bf16 before the ±1 one-hot difference, flipping near-tie
+        # test pairs vs the exact gather fallback (word assignment
+        # against the shipped vocabulary must agree across backends).
+        # The [N,2401]x[2401,256] product is tiny; cost is negligible.
+        diff = jnp.dot(flat, jnp.asarray(_CMP_W),
+                       precision=jax.lax.Precision.HIGHEST)  # [N, 256]
         desc = _pack_bits((diff > 0).astype(jnp.uint32))
     else:
         pat = jnp.asarray(_PATTERN)

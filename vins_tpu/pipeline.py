@@ -219,6 +219,7 @@ class VinsSystem:
         self._pnp_preints_stale = False
         self._rebuild_preints = jax.jit(
             lambda w: w._replace(preints=pnp_mod.window_preints(w, cfg)))
+        self._dispatch_seq = 0       # monotone block-dispatch counter
         self._stage_queue = []       # verified hits awaiting refinement
         self._pending_detect = []    # inserted keyframes awaiting scoring
         self._pending_gate = None    # (idxs, scores, floor) to gate in
@@ -235,7 +236,7 @@ class VinsSystem:
         # when a block's wall time exceeds the block's real-time span
         # and restores it when there is headroom.
         self.solver_budget = cfg.solver.max_iters
-        self._budget_floor = 3
+        self._budget_floor = cfg.solver.min_iters
         # Periodic in-stream global BA (keyfame_database.cpp:140-356's
         # global-optimization role, run DURING the stream): every N new
         # keyframes, a (mesh-sharded when >1 device) BA over the
@@ -532,8 +533,9 @@ class VinsSystem:
         if self._pending_loop is not None:
             pl = self._pending_loop
             if bool(loop_good):
-                self.loop.update_loop_edge(pl["edge"], loop_rel_t,
-                                           float(loop_rel_yaw))
+                self.loop.update_loop_edge(
+                    self.loop.edge_index(pl["edge_abs"]), loop_rel_t,
+                    float(loop_rel_yaw))
             pl["ttl"] -= 1
             if pl["ttl"] <= 0 or int(loop_support) < 10:
                 self.loop.optimize()
@@ -543,7 +545,8 @@ class VinsSystem:
         if self.use_loop and bool(is_kf):
             self.kf_count += 1
             if self.kf_count % cfg.loop.loop_freq == 0:
-                loop_hit = self._handle_keyframe(img, out, t)
+                loop_hit = self._handle_keyframe(img, out, t,
+                                                 p_host=pose_p)
 
         p, q = self._drift_correct(pose_p, pose_q)
         pts_corr = self._drift_correct_points(pts_w)
@@ -560,7 +563,8 @@ class VinsSystem:
             return
         self.pnp = self._sync_pnp_jit(self.pnp, self.est)
 
-    def _handle_keyframe(self, img, out, t=0.0) -> Optional[int]:
+    def _handle_keyframe(self, img, out, t=0.0,
+                         p_host=None) -> Optional[int]:
         """Insert keyframe + loop detect; on a hit, stage loop factors for
         the following window solves (the pose graph runs when the
         constraint retires — see _process_nonlinear)."""
@@ -569,7 +573,7 @@ class VinsSystem:
         idx = self.loop.add_keyframe(
             img, kf_p, kf_q, self.tracker.state.pts,
             self.tracker.state.valid, pts_w_t, ok_t,
-            window_ids=self.tracker.state.ids, t=t)
+            window_ids=self.tracker.state.ids, t=t, p_host=p_host)
         hit = self.loop.detect(idx)
         if hit is None:
             return None
@@ -621,7 +625,11 @@ class VinsSystem:
         # ONE host->device transfer for the whole constraint block (eight
         # separate jnp.asarray uploads each cost a tunnel dispatch).
         self._pending_loop = {
-            "edge": self.loop.n_loops - 1,
+            # ABSOLUTE edge id: the edge-table row can shift under
+            # eviction while the constraint rides solves (and hits
+            # staged from the queue are not necessarily the newest
+            # edge); resolve via loop.edge_index at update time.
+            "edge_abs": getattr(hit, "edge_abs", -1),
             "old_idx": hit.old_idx,
             "ttl": F,            # ≈ the reference's in-window residence
             "dev": jax.device_put(LoopInput(
@@ -708,10 +716,18 @@ class VinsSystem:
         self.frame_idx += n
         self.timings["dispatch"] = self.timings.get("dispatch", 0) + _time.perf_counter() - _t0
         self.timings["blocks"] = self.timings.get("blocks", 0) + 1
+        # Stamp the constraint with this dispatch: with depth-2
+        # streaming a constraint staged at sync k first rides scan k+2,
+        # but sync k+1 (a block that did NOT carry it) would otherwise
+        # decrement the host TTL mirror (ADVICE r4 #4).
+        seq = self._dispatch_seq
+        self._dispatch_seq += 1
+        if self._pending_loop is not None:
+            self._pending_loop.setdefault("rode", set()).add(seq)
         # The handle carries this block's own end-of-block track-id
         # buffer: with two blocks in flight, self.est already points at
         # the NEXT block's state by the time this block is synced.
-        return (outs, imgs, n, ts, state2.est.feats.track_id)
+        return (outs, imgs, n, ts, state2.est.feats.track_id, seq)
 
     def sync_block(self, handle):
         """Phase 2a (synchronizes on the block's device scan): fetch the
@@ -727,7 +743,7 @@ class VinsSystem:
         import time as _time
 
         _t0 = _time.perf_counter()
-        outs, imgs, n, ts, _tid_dev = handle
+        outs, imgs, n, ts, _tid_dev, disp_seq = handle
         # Detection scores for the PREVIOUS block's keyframes ride the
         # combined fetch below: steady-state loop detection then costs
         # no extra round trip (each fetch on the tunneled link is
@@ -802,15 +818,17 @@ class VinsSystem:
         # scan: refine the pose-graph edge with the last solved relative
         # pose, mirror the frame slide, and run the 4-DoF pose graph at
         # retirement (ViewController.mm:850-875).
-        if self._pending_loop is not None:
+        if self._pending_loop is not None and \
+                disp_seq in self._pending_loop.get("rode", ()):
             pl = self._pending_loop
             ret_idx = np.flatnonzero(lret_h[:n_ok])
             stop = int(ret_idx[0]) + 1 if len(ret_idx) else n_ok
             good_idx = np.flatnonzero(lgood_h[:stop])
             if len(good_idx):
                 g = int(good_idx[-1])
-                self.loop.update_loop_edge(pl["edge"], lrt_h[g],
-                                           float(lry_h[g]))
+                self.loop.update_loop_edge(
+                    self.loop.edge_index(pl["edge_abs"]), lrt_h[g],
+                    float(lry_h[g]))
             if len(ret_idx) or fail_at is not None:
                 # The pose-graph run itself is DEFERRED to the next
                 # overlap window (insert_block_keyframes): its program
@@ -914,7 +932,12 @@ class VinsSystem:
         _ti = _time.perf_counter()
         outs, imgs, ts = prep["outs"], prep["imgs"], prep["ts"]
         is_kf_h = prep["is_kf"]
-        inserted = []
+        # Collect UIDs, not rows: an add_keyframe at the 512-cap calls
+        # resample(), which compacts the rows of keyframes inserted
+        # EARLIER in this same loop (ADVICE r4 #1). Rows are re-resolved
+        # once, after the loop.
+        ins_uids = []
+        gen0 = self.loop.generation
         for k in range(prep["n_ok"]):
             if not bool(is_kf_h[k]):
                 continue
@@ -926,10 +949,15 @@ class VinsSystem:
                     (imgs, outs.p, outs.q, outs.kf_pts_px, outs.kf_valid,
                      outs.kf_pts_w, outs.kf_w_ok, outs.kf_ids),
                     jnp.asarray(k, jnp.int32))
-            inserted.append(self.loop.add_keyframe(
+            idx = self.loop.add_keyframe(
                 img_k, p_k, q_k, px_k, v_k, w_k, wok_k,
                 window_ids=ids_k,
-                t=float(ts[k]) if ts is not None else 0.0))
+                t=float(ts[k]) if ts is not None else 0.0,
+                p_host=prep["p"][k])
+            ins_uids.append(self.loop.uid_of(idx))
+        inserted = (self.loop.rows_of(ins_uids)
+                    if self.loop.generation != gen0 else
+                    [self.loop.row_of(u) for u in ins_uids])
         self.timings["ins_add"] = self.timings.get("ins_add", 0) \
             + _time.perf_counter() - _ti
         _ti = _time.perf_counter()
@@ -1047,7 +1075,10 @@ class VinsSystem:
             else:
                 hits_all = self.loop.detect_many(pending)
             hits = [h for h in hits_all if h is not None]
-            n_hits = len(hits)
+            # += : finished pending verifications above already counted
+            # toward n_hits; overwriting dropped their end-of-run
+            # pose-graph fold when this branch found nothing new.
+            n_hits += len(hits)
             self._stage_queue.extend(hits)
             self._stage_queue = self._stage_queue[-4:]
         if self._pending_loop is not None:
