@@ -148,17 +148,12 @@ def main(argv=None):
         result["drift_t_norm"] = round(
             float(np.linalg.norm(sys_.loop.t_drift)), 4)
 
-    if args.global_ba and sys_.loop is not None and sys_.loop.count >= 2:
-        # End-of-run global refinement over the real map — the live call
-        # site for LoopCloser.global_ba (keyfame_database.cpp:140-356's
-        # global optimization role). Keyframe ATE before/after quantifies
-        # the refinement when ground truth is available.
-        lc = sys_.loop
+    lc = sys_.loop
+    if lc is not None and lc.count >= 2 and gt_by_t:
 
         def kf_ate(p_all):
-            n_kf = lc.count
             est, gt = [], []
-            for i in range(n_kf):
+            for i in range(lc.count):
                 g = gt_by_t.get(round(float(lc._kf_t_np[i]), 6))
                 if g is not None:
                     est.append(p_all[i])
@@ -170,9 +165,20 @@ def main(argv=None):
         # Raw odometry keyframes vs the pose-graph-corrected map: the
         # pose graph corrects the PAST trajectory retroactively (the
         # published live pose only benefits going forward), so this pair
-        # is where loop closure's accuracy effect is measured.
+        # is where loop closure's accuracy effect is measured — with or
+        # without the optional global-BA refinement pass.
         raw = kf_ate(np.asarray(lc.db.p_origin[:lc.count]))
         pre = kf_ate(np.asarray(lc.db.p[:lc.count]))
+        if raw is not None:
+            result["kf_ate_raw"] = round(raw, 4)
+        if pre is not None:
+            result["kf_ate_corrected"] = round(pre, 4)
+
+    if args.global_ba and sys_.loop is not None and sys_.loop.count >= 2:
+        # End-of-run global refinement over the real map — the live call
+        # site for LoopCloser.global_ba (keyfame_database.cpp:140-356's
+        # global optimization role). Keyframe ATE before/after quantifies
+        # the refinement when ground truth is available.
         # Shard the BA's landmark blocks over every visible device
         # (SURVEY §2.3 scale-out; psum-reduced Schur over the mesh's
         # `block` axis). One device => plain single-device solve.
@@ -182,15 +188,14 @@ def main(argv=None):
             from vins_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(block=n_dev)
         cost = lc.global_ba(mesh=mesh)
-        post = kf_ate(np.asarray(lc.db.p[:lc.count]))
         result["global_ba_cost"] = (round(cost, 4)
                                     if cost is not None else None)
         result["global_ba_devices"] = n_dev
-        if raw is not None:
-            result["kf_ate_raw"] = round(raw, 4)
-        if pre is not None and post is not None:
-            result["kf_ate_pre_ba"] = round(pre, 4)
-            result["kf_ate_post_ba"] = round(post, 4)
+        if "kf_ate_corrected" in result:
+            post = kf_ate(np.asarray(lc.db.p[:lc.count]))
+            result["kf_ate_pre_ba"] = result["kf_ate_corrected"]
+            if post is not None:
+                result["kf_ate_post_ba"] = round(post, 4)
 
     print(json.dumps(result))
     rec.save(os.path.join(args.out, "run.npz"))

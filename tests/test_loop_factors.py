@@ -202,10 +202,8 @@ def test_backend_step_loop_io():
     loop = LoopInput(obs_old=jnp.asarray(obs_old), ok=jnp.asarray(ok),
                      ids=jnp.asarray(tid),
                      # Loop pose initialized at the window's estimate of
-                     # the loop frame; edge read against its (gt) pose.
+                     # the loop frame.
                      p_init=win.p[lf], q_init=win.q[lf],
-                     p_cur=jnp.asarray(seq.p[lf]),
-                     yaw_cur=jnp.asarray(_yaw(seq.q[lf]), jnp.float32),
                      ttl=jnp.asarray(F, jnp.int32),
                      weight=jnp.asarray(1.0))
     inp = FrameInput(chunk=jax.tree.map(lambda x: x[k], seq.chunks),
@@ -214,9 +212,11 @@ def test_backend_step_loop_io():
     out = est.process_frame(inp)
     assert not bool(out.failure)
     assert bool(out.loop_good)
+    # The refined edge reads against the solved NEWEST window frame
+    # (frame k), drift-free here, so expect rel pose old -> frame k.
     R_old = np.asarray(lie.quat_to_rotmat(jnp.asarray(old_q)))
-    rel_t_gt = R_old.T @ (np.asarray(seq.p[lf]) - old_p)
-    rel_yaw_gt = _yaw(seq.q[lf]) - _yaw(old_q)
+    rel_t_gt = R_old.T @ (np.asarray(seq.p[k]) - old_p)
+    rel_yaw_gt = _yaw(seq.q[k]) - _yaw(old_q)
     assert np.linalg.norm(np.asarray(out.loop_rel_t) - rel_t_gt) < 0.05, \
         (np.asarray(out.loop_rel_t), rel_t_gt)
     assert abs(float(out.loop_rel_yaw) - rel_yaw_gt) < 0.02

@@ -275,9 +275,20 @@ def test_pipeline_loop_injection_refines_edge(seq_pack):
         loop_yaw=g.loop_yaw.at[0].set(9.0),
         loop_w=g.loop_w.at[0].set(1.0))
     sys_.loop.n_loops = 1
+    sys_.loop._loop_i_host = [0]
+    sys_.loop._loop_w_host = [1.0]
+    sys_.loop._edge_abs_host = [0]
+    sys_.loop._next_edge_abs = 1
 
     yaw_old = float(np.arctan2(
         *np.asarray(lie.quat_to_rotmat(jnp.asarray(old_q)))[[1, 0], 0]))
+    # Host mirrors for the refined-edge re-point (edge j endpoint is the
+    # newest keyframe; both rows sit at the same drift-free place).
+    sys_.loop.count = 2
+    sys_.loop._kf_p_np[0] = old_p
+    sys_.loop._kf_p_np[1] = old_p
+    sys_.loop._kf_yaw_np[0] = yaw_old
+    sys_.loop._kf_yaw_np[1] = yaw_old
     sys_._pending_loop = {
         "edge_abs": 0, "old_idx": 0, "ttl": F,
         "dev": LoopInput(obs_old=jnp.asarray(obs_old),
@@ -286,8 +297,6 @@ def test_pipeline_loop_injection_refines_edge(seq_pack):
                          # frame's own pose, so init/readout use it
                          p_init=jnp.asarray(old_p),
                          q_init=jnp.asarray(old_q),
-                         p_cur=jnp.asarray(old_p),
-                         yaw_cur=jnp.asarray(yaw_old, jnp.float32),
                          ttl=jnp.asarray(F, jnp.int32),
                          weight=jnp.asarray(1.0))}
 
@@ -303,12 +312,19 @@ def test_pipeline_loop_injection_refines_edge(seq_pack):
         k += 1
 
     assert refined_seen, "loop edge never refined by the window solve"
-    # Drift-free staged loop: the refined relative translation must be
-    # near zero (old pose == GT of the loop frame), nowhere near the
-    # sentinel.
+    # Drift-free staged loop: the refined edge is re-pointed at the
+    # newest keyframe j and must match the raw-odometry relative pose
+    # old -> j (identity when j is still at the staged place).
     lt = np.asarray(sys_.loop.graph.loop_t[0])
-    assert np.linalg.norm(lt) < 0.3, lt
-    assert abs(float(sys_.loop.graph.loop_yaw[0])) < 0.1
+    e_j = int(np.asarray(sys_.loop.graph.loop_j[0]))
+    p_j = sys_.loop._kf_p_np[e_j]
+    yaw_j = float(sys_.loop._kf_yaw_np[e_j])
+    c, s = np.cos(yaw_old), np.sin(yaw_old)
+    RzT = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], np.float32)
+    exp_t = RzT @ (p_j - old_p)
+    assert np.linalg.norm(lt - exp_t) < 0.3, (lt, exp_t)
+    dy = float(sys_.loop.graph.loop_yaw[0]) - (yaw_j - yaw_old)
+    assert abs(np.arctan2(np.sin(dy), np.cos(dy))) < 0.1
     # Retirement ran the pose graph; with a consistent loop the drift
     # stays near identity.
     assert sys_._pending_loop is None

@@ -48,7 +48,7 @@ def main(round_no: int):
         root = os.path.join(tmp, "seq")
         truth = generate_asl_fixture(
             root, cfg, n_frames=1500, cam_hz=20.0, seed=11,
-            gyr_scale=1.015, gyr_walk=1e-4,
+            gyr_scale=1.015, gyr_walk=1e-3,
             traj_kwargs=dict(w=0.42, bob=0.2, bob_w=1.9))
         drift_res = run_euroc.main(
             ["--root", root, "--stream", "--global-ba", "--loop-freq",
@@ -57,7 +57,7 @@ def main(round_no: int):
                                            axis=1)))
     drift = {
         "sequence": "asl_fixture drift (1500 frames @ 20 Hz, 5 laps, "
-                    "gyr_scale 1.015, seed 11)",
+                    "gyr_scale 1.015, gyr_walk 1e-3, seed 11)",
         "frames": drift_res.get("frames"),
         "trajectory_length_m": round(traj_len, 1),
         "ate_rmse": drift_res.get("ate_rmse"),

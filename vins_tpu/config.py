@@ -236,6 +236,26 @@ class LoopConfig:
     match_max_dist: int = 80         # Hamming distance gate (of 256 bits)
     match_ratio: float = 0.85        # best/second-best neigh-ratio test
     pnp_max_msr: float = 5e-3        # mean-squared reproj gate (normalized²)
+    # Streaming ride-time re-attachment (stream.vio_scan_step): a staged
+    # loop constraint carries the OLD keyframe's descriptors and is
+    # matched against the CURRENT frame's features inside the scan, so
+    # detection/staging latency cannot starve the track-id join (the
+    # host-side join measured ZERO surviving ids at 2-block latency —
+    # track lifetime is shorter than the in-flight pipeline depth).
+    # Ride-time attach reprojection gates (normalized plane, old frame).
+    # attach_gate bounds a match's DEVIATION from the median reprojection
+    # offset (raw drift shifts all true matches coherently; false ones
+    # scatter by radians); attach_max is a loose absolute cap.
+    attach_gate: float = 0.12
+    attach_max: float = 0.8
+    # Backend frames to keep trying the attach before the anchor
+    # retires. Generous on purpose: by injection time the vehicle is
+    # typically PAST the detected place (multi-block content latency);
+    # on a revisiting trajectory it re-enters the old keyframe's view
+    # within a lap, and the attach_gate reprojection test keeps
+    # far-away frames from attaching in the meantime. ~1 lap of the
+    # test fixtures' circles at backend rate.
+    attach_ttl: int = 120
 
 
 @dataclasses.dataclass(frozen=True)

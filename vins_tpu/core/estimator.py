@@ -139,8 +139,6 @@ class LoopInput(NamedTuple):
     ids: jax.Array       # [M] int32 track ids the matches were made for
     p_init: jax.Array    # [3] loop-pose initial value (refined old pose)
     q_init: jax.Array    # [4]
-    p_cur: jax.Array     # [3] current keyframe's stored raw pose
-    yaw_cur: jax.Array   # [] its yaw (edge readout)
     ttl: jax.Array       # [] int32 backend solves left before retirement
     weight: jax.Array    # [] float 1.0 active / 0.0 inert
 
@@ -152,8 +150,6 @@ class LoopInput(NamedTuple):
             ids=jnp.full((M,), -1, jnp.int32),
             p_init=jnp.zeros((3,), dtype),
             q_init=lie.quat_identity(dtype),
-            p_cur=jnp.zeros((3,), dtype),
-            yaw_cur=jnp.zeros((), dtype),
             ttl=jnp.zeros((), jnp.int32),
             weight=jnp.zeros((), dtype))
 
@@ -362,13 +358,21 @@ def backend_step(est: BackendState, inp: FrameInput, cfg: VinsConfig,
 
     # Refined loop constraint off the SOLVED loop pose (VINS.cpp:663-680):
     # relative t/yaw between the solved loop pose (= the old keyframe in
-    # the current raw-odometry frame) and the current keyframe's stored
-    # raw pose. Both live in the raw frame, so the edge is gauge-safe.
+    # the current raw-odometry frame) and the solved NEWEST window frame.
+    # Both live in the current raw frame, so the edge is gauge-safe AND
+    # drift-free: an earlier readout against the detection-time
+    # keyframe's STORED pose silently folded every meter of raw drift
+    # accrued between that keyframe's capture and the refining solve
+    # into the edge — harmless at interactive (sub-second) latency,
+    # ruinous when a streamed constraint attaches a lap later. The host
+    # records the edge against the keyframe nearest the readout frame
+    # (pipeline sync/insert).
     if inp.loop is not None:
         R_loop = lie.quat_to_rotmat(loop_q)
-        loop_rel_t = R_loop.T @ (inp.loop.p_cur - loop_p)
+        loop_rel_t = R_loop.T @ (solved.p[F - 1] - loop_p)
         yaw_l = lie.rotmat_to_ypr(R_loop)[0]
-        dyaw = inp.loop.yaw_cur - yaw_l
+        yaw_w = lie.rotmat_to_ypr(lie.quat_to_rotmat(solved.q[F - 1]))[0]
+        dyaw = yaw_w - yaw_l
         loop_rel_yaw = jnp.arctan2(jnp.sin(dyaw), jnp.cos(dyaw))
         n_loop = jnp.sum(prob.loop.ok & feats.valid)
         loop_good = (inp.loop.weight > 0) & (n_loop >= 10) & ~fail

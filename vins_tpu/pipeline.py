@@ -160,6 +160,14 @@ class VinsSystem:
         # every non-loop backend frame — no per-frame transfer).
         self._loop_inactive = jax.device_put(
             LoopInput.inactive(cfg.window.max_landmarks))
+        from .stream import LoopAnchor
+        self._anchor_inactive = jax.device_put(
+            LoopAnchor.inactive(cfg.loop.max_kf_features))
+        # Device-carried loop lifecycle state between block dispatches
+        # (the scan attaches anchors and retires constraints on its own;
+        # the host only mirrors the bookkeeping from the packed flags).
+        self._loop_dev = None
+        self._anchor_dev = None
         self._scan_jit = None  # compiled lazily by process_block
         self._pnp_step = jax.jit(
             lambda w, c, o, m: pnp_mod.pnp_step(w, c, o, m, cfg, self.ext,
@@ -230,6 +238,7 @@ class VinsSystem:
         # scan; their results ride the NEXT sync's combined fetch).
         self._pending_verify = None
         self._needs_optimize = False  # pose-graph run deferred to overlap
+        self._pending_refine = None   # edge refinement awaiting kf rows
         # Backpressure: runtime LM iteration budget for streaming solves
         # (the reference scales its solver wall-clock cap 60→40→30 ms
         # with queue depth, VINS.cpp:646-653). process_stream lowers it
@@ -295,6 +304,11 @@ class VinsSystem:
             self._recover_anchor: Optional[tuple] = None
             self._last_good: Optional[tuple] = None
         self._pending_loop = None  # loop factors awaiting injection
+        # Device-carried loop lifecycle state (block mode): dropped with
+        # the rest of the estimator state.
+        if hasattr(self, "_loop_dev"):
+            self._loop_dev = None
+            self._anchor_dev = None
 
     def _fail_reset(self):
         """Failure recovery (VINS.cpp:463-467): re-enter INITIAL, keep the
@@ -499,6 +513,14 @@ class VinsSystem:
             return self._null_output(t, front, initialized=True)
 
         self._pending_chunk = None
+        if self._pending_loop is not None and \
+                "dev" not in self._pending_loop:
+            # Block-staged anchor awaiting its ride-time attach (see
+            # stream.LoopAnchor): the scan owns it; after a mode switch
+            # close it out — the edge stays tentative, the pose graph
+            # still runs at the boundary.
+            self.loop.optimize()
+            self._pending_loop = None
         # Inject pending loop factors into this solve (VINS.cpp:571-637):
         # the constraint persists while enough matched tracks survive
         # (TTL-bounded), each solve refining the pose-graph edge.
@@ -533,9 +555,14 @@ class VinsSystem:
         if self._pending_loop is not None:
             pl = self._pending_loop
             if bool(loop_good):
-                self.loop.update_loop_edge(
-                    self.loop.edge_index(pl["edge_abs"]), loop_rel_t,
-                    float(loop_rel_yaw))
+                e = self.loop.edge_index(pl["edge_abs"])
+                if e >= 0 and self.loop.count >= 1:
+                    # Readout is against the CURRENT solved frame; re-
+                    # point the edge at the newest keyframe (a few
+                    # frames back at most), composing the odometry gap.
+                    self._refine_edge_to_kf(
+                        e, loop_rel_t, float(loop_rel_yaw), pose_p,
+                        _np_yaw(pose_q), self.loop.count - 1)
             pl["ttl"] -= 1
             if pl["ttl"] <= 0 or int(loop_support) < 10:
                 self.loop.optimize()
@@ -545,8 +572,9 @@ class VinsSystem:
         if self.use_loop and bool(is_kf):
             self.kf_count += 1
             if self.kf_count % cfg.loop.loop_freq == 0:
-                loop_hit = self._handle_keyframe(img, out, t,
-                                                 p_host=pose_p)
+                loop_hit = self._handle_keyframe(
+                    img, out, t, p_host=pose_p,
+                    yaw_host=_np_yaw(pose_q))
 
         p, q = self._drift_correct(pose_p, pose_q)
         pts_corr = self._drift_correct_points(pts_w)
@@ -563,8 +591,8 @@ class VinsSystem:
             return
         self.pnp = self._sync_pnp_jit(self.pnp, self.est)
 
-    def _handle_keyframe(self, img, out, t=0.0,
-                         p_host=None) -> Optional[int]:
+    def _handle_keyframe(self, img, out, t=0.0, p_host=None,
+                         yaw_host=None) -> Optional[int]:
         """Insert keyframe + loop detect; on a hit, stage loop factors for
         the following window solves (the pose graph runs when the
         constraint retires — see _process_nonlinear)."""
@@ -573,7 +601,8 @@ class VinsSystem:
         idx = self.loop.add_keyframe(
             img, kf_p, kf_q, self.tracker.state.pts,
             self.tracker.state.valid, pts_w_t, ok_t,
-            window_ids=self.tracker.state.ids, t=t, p_host=p_host)
+            window_ids=self.tracker.state.ids, t=t, p_host=p_host,
+            yaw_host=yaw_host)
         hit = self.loop.detect(idx)
         if hit is None:
             return None
@@ -638,12 +667,87 @@ class VinsSystem:
                 ids=np.asarray(slot_ids, np.int32),
                 p_init=np.asarray(hit.p_old, np.float32),
                 q_init=np.asarray(hit.q_old, np.float32),
-                p_cur=np.asarray(hit.p_cur, np.float32),
-                yaw_cur=np.asarray(_np_yaw(hit.q_cur), np.float32),
                 ttl=np.asarray(F, np.int32),
                 weight=np.asarray(1.0, np.float32))),
         }
         return True
+
+    def _apply_pending_refine(self, pairs) -> None:
+        """Apply a deferred edge refinement (sync_block) now that this
+        block's keyframes have DB rows. The measurement was read against
+        the window's newest frame at block offset g; the edge is
+        re-pointed at the keyframe nearest g and the raw-odometry gap
+        between that keyframe and frame g is composed into the
+        measurement (yaw-frame composition — consistent with the 4-DoF
+        graph's error model, keyfame_database.h:271-360).
+
+        pairs: [(frame-offset-in-block, db-row)] of this block's inserts.
+        """
+        pr, self._pending_refine = self._pending_refine, None
+        if pr is None or self.loop is None:
+            return
+        e = self.loop.edge_index(pr["edge_abs"])
+        if e < 0:
+            return
+        if pairs:
+            k_j, j = min(pairs, key=lambda kr: abs(kr[0] - pr["g"]))
+        elif self.loop.count >= 1:
+            j = self.loop.count - 1
+        else:
+            return
+        self._refine_edge_to_kf(e, pr["t"], pr["ryaw"], pr["p_g"],
+                                pr["yaw_g"], j)
+        # Fresh refined measurement -> run the 4-DoF graph next overlap
+        # window (the reference re-optimizes on every retiring keyframe
+        # with a loop, ViewController.mm:850-875; waiting for retirement
+        # alone left the published drift a full ride stale).
+        self._needs_optimize = True
+
+    def _refine_edge_to_kf(self, e, t_g, ryaw_g, p_g, yaw_g, j) -> None:
+        """Re-point refined edge e at keyframe row j: compose the raw-
+        odometry gap between the readout frame (raw pose p_g/yaw_g) and
+        keyframe j into the (t, yaw) measurement, in the solved old
+        pose's yaw frame."""
+        p_j = self.loop._kf_p_np[j]
+        yaw_j = float(self.loop._kf_yaw_np[j])
+        # Solved old-pose yaw in the raw frame: yaw_g − rel_yaw.
+        yaw_old = yaw_g - ryaw_g
+        c, s = np.cos(yaw_old), np.sin(yaw_old)
+        Rz_T = np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]],
+                        np.float32)
+        t_j = np.asarray(t_g, np.float32) + Rz_T @ (
+            np.asarray(p_j, np.float32) - np.asarray(p_g, np.float32))
+        dyaw = ryaw_g + (yaw_j - yaw_g)
+        dyaw = float(np.arctan2(np.sin(dyaw), np.cos(dyaw)))
+        self.loop.update_loop_edge(e, t_j, dyaw, j=j)
+
+    def _stage_anchor_from_hit(self, hit) -> None:
+        """Stage a verified hit for RIDE-TIME attachment in the scan
+        (stream.LoopAnchor): gather the old keyframe's descriptor/obs
+        rows on device (no fetch) and upload the pose/scalar block in
+        one transfer. The scan attaches the constraint to the live
+        frame's features at its next backend frame; retirement flows
+        back through the packed LRET flag like any riding constraint."""
+        from .stream import LoopAnchor
+
+        lp = self.cfg.loop
+        F = self.cfg.window.num_frames
+        desc_o, ok_o, obs_o = self.loop.anchor_rows(hit.old_idx)
+        p_init, q_init, ttl, pend = jax.device_put(
+            (np.asarray(hit.p_old, np.float32),
+             np.asarray(hit.q_old, np.float32),
+             np.asarray(lp.attach_ttl, np.int32),
+             np.asarray(True)))
+        self._anchor_dev = LoopAnchor(
+            desc_old=desc_o, ok_old=ok_o, obs_old=obs_o,
+            p_init=p_init, q_init=q_init,
+            ttl=ttl, pending=pend)
+        self._pending_loop = {
+            "edge_abs": getattr(hit, "edge_abs", -1),
+            "old_idx": hit.old_idx,
+            # Host TTL mirror: attach window + in-window residence.
+            "ttl": lp.attach_ttl + F,
+        }
 
     # -- streaming block mode ------------------------------------------------
 
@@ -657,19 +761,26 @@ class VinsSystem:
             pending, has = self._pending_chunk, jnp.asarray(True)
         else:
             pending, has = pre_mod.ImuChunk.empty(N), jnp.asarray(False)
-        # Loop block for the scan: a pending loop (staged by the previous
-        # block's detection, or carried over from interactive mode) rides
-        # into the solve; the scan owns its TTL/track-support lifecycle.
-        if self._pending_loop is not None:
+        # Loop block for the scan: an interactive-staged pending loop
+        # (host-joined, carries a "dev" LoopInput) re-injects with the
+        # mirrored TTL; otherwise the device-carried lifecycle state
+        # flows through (block-staged anchors attach INSIDE the scan —
+        # stream.LoopAnchor — and the resulting LoopInput lives only in
+        # the carried device state).
+        if self._pending_loop is not None and "dev" in self._pending_loop:
             loop = self._pending_loop["dev"]._replace(
                 ttl=jnp.asarray(self._pending_loop["ttl"], jnp.int32))
+        elif self._loop_dev is not None:
+            loop = self._loop_dev
         else:
             loop = self._loop_inactive
+        anchor = (self._anchor_dev if self._anchor_dev is not None
+                  else self._anchor_inactive)
         return ScanState(
             tracker=self.tracker.state, pnp=self.pnp, est=self.est,
             pending=pending, has_pending=has,
             phase=jnp.asarray(self.frame_idx % self.cfg.freq, jnp.int32),
-            loop=loop,
+            loop=loop, anchor=anchor,
             solver_budget=jnp.asarray(self.solver_budget, jnp.int32))
 
     def dispatch_block(self, imgs, chunks, ts=None):
@@ -709,6 +820,8 @@ class VinsSystem:
         self.tracker.state = state2.tracker
         self.pnp = state2.pnp
         self.est = state2.est
+        self._loop_dev = state2.loop
+        self._anchor_dev = state2.anchor
         if self.use_pnp and self.cfg.solver.pnp_stream_solve == "deadreckon":
             self._pnp_preints_stale = True
         self._pending_chunk_dev = (state2.pending, state2.has_pending)
@@ -825,10 +938,17 @@ class VinsSystem:
             stop = int(ret_idx[0]) + 1 if len(ret_idx) else n_ok
             good_idx = np.flatnonzero(lgood_h[:stop])
             if len(good_idx):
+                # The refined measurement is read against the solving
+                # window's NEWEST frame (estimator.py); DEFER the edge
+                # write to the insert phase, where this block's
+                # keyframes have rows — the edge is re-pointed at the
+                # keyframe nearest the readout frame, with the small
+                # raw-odometry gap composed in (insert_block_keyframes).
                 g = int(good_idx[-1])
-                self.loop.update_loop_edge(
-                    self.loop.edge_index(pl["edge_abs"]), lrt_h[g],
-                    float(lry_h[g]))
+                self._pending_refine = {
+                    "edge_abs": pl["edge_abs"], "g": g,
+                    "t": lrt_h[g], "ryaw": float(lry_h[g]),
+                    "p_g": p_h[g], "yaw_g": _np_yaw(q_h[g])}
             if len(ret_idx) or fail_at is not None:
                 # The pose-graph run itself is DEFERRED to the next
                 # overlap window (insert_block_keyframes): its program
@@ -873,16 +993,16 @@ class VinsSystem:
             self._pending_gate = (pending_detect, scores_h, floor)
         # One constraint in flight at a time (reference retrive_pose
         # behavior): when none is pending, stage the NEWEST queued hit
-        # whose matched tracks are still alive — every verified hit gets
-        # window-refined eventually (the constraint is track-anchored,
-        # so waiting a few blocks only costs attrition); hits that never
-        # stage stay as near-inert tentative edges.
-        if self._pending_loop is None:
-            while self._stage_queue:
-                hit = self._stage_queue.pop()
-                if self._stage_loop_from_hit(hit, tid_h,
-                                             defer_optimize=True):
-                    break
+        # as a ride-time anchor (stream.LoopAnchor) — the scan matches
+        # the old keyframe's descriptors against the LIVE frame when the
+        # constraint starts riding, so detection latency cannot starve
+        # the join (the host-side track-id join measured ZERO surviving
+        # ids at 2-block latency). Older queued hits stay as tentative
+        # pose-graph edges.
+        if self._pending_loop is None and self._stage_queue:
+            hit = self._stage_queue.pop()
+            self._stage_queue.clear()
+            self._stage_anchor_from_hit(hit)
 
         self.timings["loop_stage"] = self.timings.get("loop_stage", 0) \
             + _time.perf_counter() - _t4
@@ -953,11 +1073,15 @@ class VinsSystem:
                 img_k, p_k, q_k, px_k, v_k, w_k, wok_k,
                 window_ids=ids_k,
                 t=float(ts[k]) if ts is not None else 0.0,
-                p_host=prep["p"][k])
-            ins_uids.append(self.loop.uid_of(idx))
-        inserted = (self.loop.rows_of(ins_uids)
-                    if self.loop.generation != gen0 else
-                    [self.loop.row_of(u) for u in ins_uids])
+                p_host=prep["p"][k], yaw_host=_np_yaw(prep["q"][k]))
+            ins_uids.append((k, self.loop.uid_of(idx)))
+        # Re-resolve rows through UIDs if a resample compacted the DB
+        # mid-loop (ADVICE r4 #1); (frame-offset, row) pairs stay
+        # aligned and resampled-away keyframes drop out.
+        pairs = [(k, self.loop.row_of(u)) for k, u in ins_uids]
+        pairs = [(k, r) for k, r in pairs if r >= 0]
+        inserted = [r for _, r in pairs]
+        self._apply_pending_refine(pairs)
         self.timings["ins_add"] = self.timings.get("ins_add", 0) \
             + _time.perf_counter() - _ti
         _ti = _time.perf_counter()
@@ -1207,7 +1331,10 @@ class VinsSystem:
                         self.solver_budget += 1
             last_sync_t = _t_now
         if self.use_loop:
+            _td = _time.perf_counter()
             self.drain_loop_work()
+            self.timings["drain"] = self.timings.get("drain", 0) \
+                + _time.perf_counter() - _td
         return results
 
     def _null_output(self, t, front, status: str = "",

@@ -60,6 +60,44 @@ def precompute_block(imgs: jax.Array, cfg: VinsConfig):
     return tuple(pyrs), grads
 
 
+class LoopAnchor(NamedTuple):
+    """A verified loop hit staged for RIDE-TIME attachment.
+
+    The host's detection pipeline (scores → gate → geometric verify)
+    runs blocks behind the scan, so by injection time the hit's matched
+    track ids are dead — the median track lifetime is far shorter than
+    the in-flight pipeline depth (measured: ZERO id survival at 2-block
+    latency). Instead of a stale host-side id join, the anchor carries
+    the OLD keyframe's descriptors + normalized observations, and the
+    SCAN matches them against the live frame's features at the moment
+    the constraint starts riding (vio_scan_step _attach_loop): the join
+    is always fresh, whatever the detection latency. The reference has
+    no equivalent because its loop thread feeds retrive_pose_data within
+    ~1 keyframe of capture (VINS.cpp:571-637) — a latency budget a
+    deep-pipelined TPU stream cannot meet.
+    """
+
+    desc_old: jax.Array   # [Nf, 8] uint32 packed BRIEF of the old kf
+    ok_old: jax.Array     # [Nf] bool keypoint-valid rows
+    obs_old: jax.Array    # [Nf, 2] normalized obs in the old kf
+    p_init: jax.Array     # [3] PnP-refined old pose (raw odometry frame)
+    q_init: jax.Array     # [4]
+    ttl: jax.Array        # [] int32 backend frames left to try attaching
+    pending: jax.Array    # [] bool — attach not yet done
+
+    @staticmethod
+    def inactive(Nf: int, dtype=jnp.float32) -> "LoopAnchor":
+        from .utils import lie
+        return LoopAnchor(
+            desc_old=jnp.zeros((Nf, 8), jnp.uint32),
+            ok_old=jnp.zeros((Nf,), bool),
+            obs_old=jnp.zeros((Nf, 2), dtype),
+            p_init=jnp.zeros((3,), dtype),
+            q_init=lie.quat_identity(dtype),
+            ttl=jnp.zeros((), jnp.int32),
+            pending=jnp.asarray(False))
+
+
 class ScanState(NamedTuple):
     """Everything carried frame-to-frame by the fused pipeline scan."""
 
@@ -69,12 +107,15 @@ class ScanState(NamedTuple):
     pending: pre_mod.ImuChunk    # IMU accumulated since last backend frame
     has_pending: jax.Array       # [] bool
     phase: jax.Array             # [] int32; 0 = backend frame
-    # Active loop-closure constraint block (weight 0 = inactive). Staged
-    # by the host from the previous block's detection — one block of
-    # latency, the streaming analog of the reference's async loop thread
-    # feeding retrive_pose_data into the next solve (VINS.cpp:571-637).
-    # The scan owns the TTL/track-support lifecycle.
+    # Active loop-closure constraint block (weight 0 = inactive): either
+    # carried over from interactive mode (host-joined) or produced by a
+    # ride-time anchor attach (see LoopAnchor). The scan owns the
+    # TTL/track-support lifecycle.
     loop: LoopInput
+    # Staged loop hit awaiting ride-time attachment (pending=False when
+    # none). The host stages it from a verified detection; the scan
+    # attaches it to the live frame's features at the next backend frame.
+    anchor: LoopAnchor
     # Runtime LM iteration budget for the window solves (backpressure:
     # the host lowers it when blocks fall behind the camera rate,
     # mirroring the reference's 60→40→30 ms cap, VINS.cpp:646-653).
@@ -159,14 +200,16 @@ def _sync_pnp(pnp: pnp_mod.PnpWindow, est: BackendState, cfg: VinsConfig,
     return pnp_mod.update_features(pnp, pts_w, valid, track_len)
 
 
-def vio_scan_step(state: ScanState, pyr, grads,
+def vio_scan_step(state: ScanState, pyr, grads, img,
                   chunk: pre_mod.ImuChunk, cfg: VinsConfig,
                   ext: Extrinsics, gravity: jax.Array,
                   use_pnp: bool = True) -> Tuple[ScanState, ScanOutput]:
     """One camera frame of the fused pipeline (pure, scan-able).
 
     pyr/grads: this frame's block-precomputed image prep
-    (precompute_block) — per-level pyramid images and gradients."""
+    (precompute_block) — per-level pyramid images and gradients;
+    img: the RAW frame (loop-anchor attachment extracts BRIEF from it —
+    DB descriptors are raw-image-based)."""
     F = cfg.window.num_frames
     Mw = cfg.frontend.max_features
     dtype = gravity.dtype
@@ -205,8 +248,95 @@ def vio_scan_step(state: ScanState, pyr, grads,
         q30 = state.est.window.q[F - 1]
     M = cfg.window.max_landmarks
 
+    def _attach_loop(est, anchor, loop_prev):
+        """Ride-time loop attachment: match the staged OLD keyframe's
+        descriptors against the LIVE frame's features and build a fresh
+        slot-aligned LoopInput. Runs under lax.cond on backend frames
+        while an anchor is pending — the streaming replacement for the
+        host-side track-id join, which cannot survive the pipeline's
+        multi-block detection latency (see LoopAnchor).
+
+        Attaches from the RAW image (not the CLAHE'd pyramid level): the
+        DB's stored descriptors were extracted from raw frames, and the
+        local contrast remap flips enough BRIEF test pairs to break the
+        neigh-ratio gate. The attach keeps trying every backend frame
+        until attach_ttl runs out — on a revisiting trajectory the
+        vehicle re-enters the old keyframe's view within a lap, and the
+        reprojection gate below keeps far-away frames from attaching in
+        the meantime."""
+        from .ops import brief as brief_mod
+        from .utils import lie
+
+        lp = cfg.loop
+        desc_cur = brief_mod.extract_brief(img, tracker.pts,
+                                           tracker.valid)
+        m = brief_mod.match_descriptors(
+            desc_cur, anchor.desc_old, tracker.valid, anchor.ok_old,
+            max_dist=lp.match_max_dist, ratio=lp.match_ratio)
+        # Drift-tolerant geometric gate: the current landmarks' world
+        # points, projected through the (PnP-refined, raw-frame) old
+        # pose, must land near the matched old observations. Gates out
+        # descriptor aliases without a RANSAC pass; the window solve's
+        # Cauchy loss handles the remainder.
+        ptw = landmark_world_points(est.window, est.feats, ext)
+        ptw_t, has_w = _gather_by_id(
+            tracker.ids, est.feats.track_id, ptw,
+            est.feats.valid & (est.window.inv_depth > 1e-3))
+        R_old = lie.quat_to_rotmat(anchor.q_init)
+        R_ic = lie.quat_to_rotmat(ext.qic)
+        Xc = ((ptw_t - anchor.p_init) @ R_old - ext.tic) @ R_ic
+        z = Xc[:, 2]
+        proj = Xc[:, :2] / jnp.maximum(z, 1e-3)[:, None]
+        err = jnp.linalg.norm(proj - anchor.obs_old[m.idx], axis=-1)
+        # MEDIAN-RELATIVE gate: raw drift accrued since the anchor's
+        # pose epoch shifts every true match's reprojection coherently
+        # (measured ~0.2 rad on a 6-lap run — an absolute gate either
+        # rejects true revisits or admits junk), while false matches
+        # scatter by radians. Accept matches near the consensus offset,
+        # under a loose absolute cap.
+        sel = m.ok & has_w & (z > 0.1)
+        med = jnp.nanmedian(jnp.where(sel, err, jnp.nan))
+        med = jnp.where(jnp.isfinite(med), med, 1e6)
+        row_ok = (sel & (jnp.abs(err - med) < lp.attach_gate)
+                  & (err < lp.attach_max))
+        # Slot-align (LoopInput rows pair elementwise with the landmark
+        # table, estimator.py loop_ok re-check).
+        obs_slot, ok_slot = _gather_by_id(
+            est.feats.track_id, tracker.ids, anchor.obs_old[m.idx],
+            row_ok)
+        ok_slot = ok_slot & (est.feats.track_id >= 0)
+        good = jnp.sum(ok_slot) >= 10
+        import os as _os
+        if _os.environ.get("VINS_ATTACH_DEBUG"):
+            jax.debug.print(
+                "attach: n_desc={} n_w={} n_geo={} n_slot={} errmed={}",
+                jnp.sum(m.ok), jnp.sum(sel), jnp.sum(row_ok),
+                jnp.sum(ok_slot), med)
+        loop_new = LoopInput(
+            obs_old=obs_slot, ok=ok_slot, ids=est.feats.track_id,
+            p_init=anchor.p_init, q_init=anchor.q_init,
+            ttl=jnp.asarray(F, jnp.int32),
+            weight=jnp.where(good, 1.0, 0.0).astype(dtype))
+        loop_out = jax.tree.map(
+            lambda new, old: jnp.where(good, new, old), loop_new,
+            loop_prev)
+        return loop_out, good
+
     def do_backend(operand):
-        est, pnp_in, loop_in = operand
+        est, pnp_in, loop_prev, anchor = operand
+        # Ride-time anchor attachment (only while no constraint is
+        # already active; one attach per staged hit).
+        att_try = (anchor.pending & (anchor.ttl > 0)
+                   & (loop_prev.weight <= 0))
+        loop_in, attached = jax.lax.cond(
+            att_try,
+            lambda: _attach_loop(est, anchor, loop_prev),
+            lambda: (loop_prev, jnp.asarray(False)))
+        ttl_a = jnp.where(anchor.pending, anchor.ttl - 1, anchor.ttl)
+        anchor_expired = anchor.pending & ~attached & (ttl_a <= 0)
+        anchor2 = anchor._replace(
+            ttl=ttl_a,
+            pending=anchor.pending & ~attached & (ttl_a > 0))
         inp = FrameInput(chunk=merged, ids=front.ids, obs=front.obs,
                          obs_valid=front.obs_valid, loop=loop_in,
                          iter_budget=state.solver_budget)
@@ -232,10 +362,14 @@ def vio_scan_step(state: ScanState, pyr, grads,
         loop2 = loop_in._replace(
             ttl=ttl2,
             weight=jnp.where(retired | out.failure, 0.0, loop_in.weight))
+        # An anchor that expired unattached also reads as retirement so
+        # the host closes out its pending-loop bookkeeping (the edge
+        # stays tentative; the pose graph still runs at the boundary).
+        retired = retired | anchor_expired
         # Published cloud in fp16: the per-block [N,M,3] host fetch is
         # bandwidth-bound over the tunneled link and mm-level precision
         # is ample for the viz/AR consumers.
-        return (est2, pnp2, loop2, out.pose_p, out.pose_q,
+        return (est2, pnp2, loop2, anchor2, out.pose_p, out.pose_q,
                 out.is_keyframe, out.failure, out.stats.final_cost,
                 pts_w_t, has_t & tracker.valid,
                 out.point_cloud.astype(jnp.float16),
@@ -243,18 +377,20 @@ def vio_scan_step(state: ScanState, pyr, grads,
                 out.loop_rel_yaw, retired)
 
     def skip_backend(operand):
-        est, pnp_in, loop_in = operand
-        return (est, pnp_in, loop_in, p30, q30, jnp.asarray(False),
+        est, pnp_in, loop_in, anchor = operand
+        return (est, pnp_in, loop_in, anchor, p30, q30,
+                jnp.asarray(False),
                 jnp.asarray(False), jnp.zeros((), dtype),
                 jnp.zeros((Mw, 3), dtype), jnp.zeros((Mw,), bool),
                 jnp.zeros((M, 3), jnp.float16), jnp.zeros((M,), bool),
                 jnp.asarray(False), jnp.zeros((3,), dtype),
                 jnp.zeros((), dtype), jnp.asarray(False))
 
-    (est, pnp, loop, p_out, q_out, is_kf, failure, cost, kf_pts_w,
-     kf_w_ok, pcl, pcl_ok, loop_good, loop_rel_t, loop_rel_yaw,
+    (est, pnp, loop, anchor_out, p_out, q_out, is_kf, failure, cost,
+     kf_pts_w, kf_w_ok, pcl, pcl_ok, loop_good, loop_rel_t, loop_rel_yaw,
      loop_retired) = jax.lax.cond(is_backend, do_backend, skip_backend,
-                                  (state.est, pnp, state.loop))
+                                  (state.est, pnp, state.loop,
+                                   state.anchor))
 
     new_state = ScanState(
         tracker=tracker, pnp=pnp, est=est,
@@ -264,6 +400,7 @@ def vio_scan_step(state: ScanState, pyr, grads,
         has_pending=~is_backend,
         phase=(state.phase + 1) % cfg.freq,
         loop=loop,
+        anchor=anchor_out,
         solver_budget=state.solver_budget)
 
     f32 = jnp.float32
@@ -302,8 +439,9 @@ def run_vio_scan(state: ScanState, imgs: jax.Array,
     pyrs, grads = precompute_block(imgs, cfg)
 
     def f(s, xs):
-        pyr, grad, chunk = xs
-        return vio_scan_step(s, pyr, grad, chunk, cfg, ext, gravity,
+        pyr, grad, img, chunk = xs
+        return vio_scan_step(s, pyr, grad, img, chunk, cfg, ext, gravity,
                              use_pnp)
 
-    return jax.lax.scan(f, state, (pyrs, grads, chunks), unroll=unroll)
+    return jax.lax.scan(f, state, (pyrs, grads, imgs, chunks),
+                        unroll=unroll)
