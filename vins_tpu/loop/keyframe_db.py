@@ -143,10 +143,12 @@ class LoopHit(NamedTuple):
     # Relative 4-DoF constraint: t_rel in old frame, relative yaw.
     t_rel: np.ndarray       # [3]
     yaw_rel: float
-    # Matched correspondences (for injecting loop factors into the window).
-    pts_w: np.ndarray       # [Nm, 3] current-kf world points
-    obs_old: np.ndarray     # [Nm, 2] their normalized obs in the old kf
-    match_ok: np.ndarray    # [Nm] bool
+    # Matched correspondences (for injecting loop factors into the
+    # window — interactive path only; the streaming path stages via
+    # device-side anchors and fetches a SLIM result without these).
+    pts_w: np.ndarray = None       # [Nm, 3] current-kf world points
+    obs_old: np.ndarray = None     # [Nm, 2] normalized obs in old kf
+    match_ok: np.ndarray = None    # [Nm] bool
     # PnP-refined old-keyframe BODY pose in the current raw-odometry
     # frame (initializes the free loop pose of the window solve).
     p_old: np.ndarray = None   # [3]
@@ -311,6 +313,43 @@ _VERIFY_PAD = 4
 
 
 @functools.partial(jax.jit, static_argnames=("max_dist", "ratio", "hyps"))
+def _verify_hits_batch_slim(db: KeyframeDB, curs, olds, keys, tic, qic,
+                            *, max_dist, ratio, hyps, thresh_sq,
+                            max_msr):
+    """Like _verify_hits_batch but returns ONE packed [C, 21] float32
+    buffer of the scalar results only (n_in, t_rel, yaw, good, msr,
+    p_old, q_old, p_cur, q_cur). The streaming path stages hits as
+    device-side anchors (stream.LoopAnchor), so the big per-candidate
+    gather leaves (obs/match/tids/points) are dead there — XLA DCE
+    drops their gathers, and the combined sync fetch carries one small
+    buffer instead of thirteen (per-buffer wire overhead ~2 ms each
+    over the tunnel)."""
+
+    def one(c, o, k):
+        (n_in, t_rel, yaw_rel, good, msr, p_old, q_old, _pts, _obs,
+         _mok, p_cur, q_cur, _tid) = _verify_hit(
+            db, c, o, k, tic, qic, max_dist=max_dist, ratio=ratio,
+            hyps=hyps, thresh_sq=thresh_sq, max_msr=max_msr)
+        f32 = jnp.float32
+        return jnp.concatenate([
+            jnp.stack([n_in.astype(f32), yaw_rel.astype(f32),
+                       good.astype(f32), msr.astype(f32)]),
+            t_rel.astype(f32), p_old.astype(f32), q_old.astype(f32),
+            p_cur.astype(f32), q_cur.astype(f32)])
+
+    return jax.vmap(one)(curs, olds, keys)
+
+
+# Column layout of the slim verify row.
+_SLIM_NIN, _SLIM_YAW, _SLIM_GOOD, _SLIM_MSR = 0, 1, 2, 3
+_SLIM_T = slice(4, 7)
+_SLIM_P_OLD = slice(7, 10)
+_SLIM_Q_OLD = slice(10, 14)
+_SLIM_P_CUR = slice(14, 17)
+_SLIM_Q_CUR = slice(17, 21)
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist", "ratio", "hyps"))
 def _verify_hits_batch(db: KeyframeDB, curs, olds, keys, tic, qic, *,
                        max_dist, ratio, hyps, thresh_sq, max_msr):
     """vmapped _verify_hit over a padded candidate batch: curs/olds
@@ -393,6 +432,10 @@ class LoopCloser:
         self._edge_abs_host = []  # live rows' absolute edge ids
         self._next_edge_abs = 0
         self.key = jax.random.PRNGKey(seed)
+        # Pre-split verify-RANSAC key pool (built by warm(); hot-path
+        # dispatches index it instead of calling jax.random.split).
+        self._key_pool = None
+        self._key_ctr = 0
         self.last_match: Optional[int] = None  # temporal consistency
         self.r_drift = np.eye(3, dtype=np.float32)
         self.t_drift = np.zeros(3, dtype=np.float32)
@@ -507,15 +550,24 @@ class LoopCloser:
         lp_ = self.cfg.loop
         z = jnp.asarray(0, jnp.int32)
         zc = jnp.zeros((_VERIFY_PAD,), jnp.int32)
-        # split(C+1): the exact eager split shape the dispatch path uses.
-        keys = jax.random.split(self.key, _VERIFY_PAD + 1)[1:]
+        # Pre-split key pool for the hot-path verify dispatches: ONE
+        # split + ONE fetch here; the pool lives as host rows (a
+        # device_put per dispatch ~1 ms vs ~770 ms for the first
+        # in-region split). 64 dispatch rounds before reuse.
+        rows = jax.random.split(self.key, 64 * _VERIFY_PAD + 1)
+        self.key = rows[0]
+        pool_h = np.asarray(jax.device_get(rows[1:])).reshape(
+            64, _VERIFY_PAD, -1)
+        self._key_pool = [pool_h[r] for r in range(64)]
+        keys = jnp.asarray(self._key_pool[0])
         t0 = jnp.zeros((3,), f32)
         y0 = jnp.zeros((), f32)
-        jax.block_until_ready(_verify_hits_batch(
-            self.db, zc, zc, keys, self.tic, self.qic,
-            max_dist=lp_.match_max_dist, ratio=lp_.match_ratio,
-            hyps=lp_.geo_ransac_hyps, thresh_sq=self._thresh_sq_dev,
-            max_msr=self._max_msr_dev))
+        for vfn in (_verify_hits_batch, _verify_hits_batch_slim):
+            jax.block_until_ready(vfn(
+                self.db, zc, zc, keys, self.tic, self.qic,
+                max_dist=lp_.match_max_dist, ratio=lp_.match_ratio,
+                hyps=lp_.geo_ransac_hyps, thresh_sq=self._thresh_sq_dev,
+                max_msr=self._max_msr_dev))
         jax.block_until_ready(_gather_anchor_rows(self.db, z))
         jax.block_until_ready(_evict_edge(self.graph, z))
         jax.block_until_ready(_set_loop_edge(self.graph, z, z, z, t0,
@@ -714,7 +766,8 @@ class LoopCloser:
         fetched = jax.device_get(self.pending_verify_handles(pend))
         return self.finish_detect(pend, fetched)
 
-    def gate_and_dispatch(self, idxs, scores_all, floor):
+    def gate_and_dispatch(self, idxs, scores_all, floor,
+                          slim: bool = False):
         """Phase 1 of detection: sequential host-side gating (island +
         temporal state must be updated in query order; cheap numpy) then
         async dispatch of ONE fused geometric-verification program per
@@ -723,9 +776,14 @@ class LoopCloser:
         the streaming path folds them into the NEXT block's combined
         fetch, because a fetch issued here would block on the in-flight
         next scan (in-order device queue)."""
+        import os as _os
+        import time as _time
+        _dbg = _os.environ.get("VINS_GATE_DEBUG")
+        _t0 = _time.perf_counter()
         scores_all = np.asarray(scores_all)
         best_of = [self._gate(int(cur), scores_all[i].copy(), floor)
                    for i, cur in enumerate(idxs)]
+        _t1 = _time.perf_counter()
         # Batch every gated candidate into ONE fused verification
         # program (padded to _VERIFY_PAD; per-candidate dispatches cost
         # ~5-15 ms of host marshaling each over the tunneled link).
@@ -747,8 +805,15 @@ class LoopCloser:
                      for cur, best in zip(idxs, best_of)]
         batch = None
         markers = []
+        _t2 = _time.perf_counter()
         if gated:
-            batch = self._dispatch_verify_batch(gated)
+            batch = self._dispatch_verify_batch(gated, slim=slim)
+        if _dbg:
+            _t3 = _time.perf_counter()
+            print(f"[gate] Q={len(idxs)} gated={len(gated)} "
+                  f"np={1e3 * (_t1 - _t0):.1f}ms "
+                  f"uid={1e3 * (_t2 - _t1):.1f}ms "
+                  f"dispatch={1e3 * (_t3 - _t2):.1f}ms", flush=True)
         j = 0
         for best in best_of:
             markers.append(None if best is None else j)
@@ -759,14 +824,14 @@ class LoopCloser:
         # buffers, so their GEOMETRY stays valid, but the row indices
         # recorded into LoopHit/pose-graph edges must be re-resolved —
         # or the pend dropped — at finish time (ADVICE r4 #1).
-        return (list(idxs), best_of, (markers, batch),
+        return (list(idxs), best_of, (markers, batch, slim),
                 self.generation, uid_pairs)
 
     @staticmethod
     def pending_verify_handles(pend) -> list:
         """Device handles of a gate_and_dispatch result (fetch these):
         the single batched verify result, or [] if nothing was gated."""
-        _, batch = pend[2]
+        _, batch, _slim = pend[2]
         return [batch] if batch is not None else []
 
     def finish_detect(self, pend, fetched) -> list:
@@ -778,7 +843,7 @@ class LoopCloser:
         indices are remapped through the keyframe UIDs; entries whose
         endpoints were resampled away are dropped (their verify result
         is still consumed so `fetched` stays aligned)."""
-        idxs, best_of, (markers, _batch), gen, uid_pairs = pend
+        idxs, best_of, (markers, _batch, slim), gen, uid_pairs = pend
         stale = gen != self.generation
         batch_h = fetched[0] if fetched else None
         out = []
@@ -792,8 +857,12 @@ class LoopCloser:
                 if cur_r < 0 or best_r < 0:
                     out.append(None)
                     continue
-            row = tuple(leaf[mk] for leaf in batch_h)
-            out.append(self._finish_verify(cur_r, best_r, row))
+            if slim:
+                out.append(self._finish_verify_slim(cur_r, best_r,
+                                                    batch_h[mk]))
+            else:
+                row = tuple(leaf[mk] for leaf in batch_h)
+                out.append(self._finish_verify(cur_r, best_r, row))
         return out
 
     def _gate(self, cur_idx: int, scores: np.ndarray,
@@ -844,7 +913,7 @@ class LoopCloser:
             return None
         return best
 
-    def _dispatch_verify_batch(self, pairs):
+    def _dispatch_verify_batch(self, pairs, slim: bool = False):
         """Async geometric verification + relative pose + hit-data
         gather for every gated (cur, old) pair in ONE fused program
         (padded to _VERIFY_PAD; pad rows repeat the first pair and are
@@ -855,16 +924,53 @@ class LoopCloser:
         lp = self.cfg.loop
         C = _VERIFY_PAD * (-(-len(pairs) // _VERIFY_PAD))
         padded = list(pairs) + [pairs[0]] * (C - len(pairs))
-        keys = jax.random.split(self.key, C + 1)
-        self.key = keys[0]
+        # PRNG keys from the warm()-built pool when possible: the first
+        # in-region `jax.random.split` was measured at ~770 ms over the
+        # tunnel (subsequent ~1 ms); the pool costs zero device ops per
+        # dispatch. Pool reuse after _KEY_POOL rounds re-runs RANSAC
+        # with the same hypothesis draws on different data — harmless.
+        if self._key_pool is not None and C == _VERIFY_PAD:
+            keys_c = jnp.asarray(
+                self._key_pool[self._key_ctr % len(self._key_pool)])
+            self._key_ctr += 1
+        else:
+            keys = jax.random.split(self.key, C + 1)
+            self.key = keys[0]
+            keys_c = keys[1:]
         curs = jnp.asarray(np.asarray([p[0] for p in padded], np.int32))
         olds = jnp.asarray(np.asarray([p[1] for p in padded], np.int32))
-        return _verify_hits_batch(
-            self.db, curs, olds, keys[1:], self.tic, self.qic,
+        fn = _verify_hits_batch_slim if slim else _verify_hits_batch
+        return fn(
+            self.db, curs, olds, keys_c, self.tic, self.qic,
             max_dist=lp.match_max_dist, ratio=lp.match_ratio,
             hyps=lp.geo_ransac_hyps,
             thresh_sq=self._thresh_sq_dev,
             max_msr=self._max_msr_dev)
+
+    def _finish_verify_slim(self, cur_idx: int, best: int,
+                            row: np.ndarray) -> Optional[LoopHit]:
+        """Host half for a SLIM verify row ([21] float32, _SLIM_*
+        layout): thresholds + LoopHit (without the big gather leaves —
+        streaming consumers stage via device-side anchors) + edge."""
+        lp = self.cfg.loop
+        if int(row[_SLIM_NIN]) < lp.min_loop_matches:
+            return None
+        if row[_SLIM_GOOD] < 0.5:
+            return None
+        yaw_rel = float(row[_SLIM_YAW])
+        t_rel = np.asarray(row[_SLIM_T])
+        if (abs(yaw_rel) > np.deg2rad(lp.yaw_reject_deg)
+                or float(np.linalg.norm(t_rel)) > lp.trans_reject_m):
+            return None
+        hit = LoopHit(
+            old_idx=best, cur_idx=cur_idx,
+            n_inliers=int(row[_SLIM_NIN]),
+            t_rel=t_rel, yaw_rel=yaw_rel,
+            p_old=np.asarray(row[_SLIM_P_OLD]),
+            q_old=np.asarray(row[_SLIM_Q_OLD]),
+            p_cur=np.asarray(row[_SLIM_P_CUR]),
+            q_cur=np.asarray(row[_SLIM_Q_CUR]))
+        return hit._replace(edge_abs=self._add_loop_edge(hit))
 
     def _finish_verify(self, cur_idx: int, best: int,
                        fetched) -> Optional[LoopHit]:

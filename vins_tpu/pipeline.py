@@ -1039,8 +1039,11 @@ class VinsSystem:
         _t0 = _time.perf_counter()
         pending_gate, self._pending_gate = self._pending_gate, None
         if pending_gate is not None:
+            # slim=True: streaming stages hits as device-side anchors,
+            # so the verify fetch carries one packed scalar row per
+            # candidate instead of the big gather leaves.
             self._pending_verify = self.loop.gate_and_dispatch(
-                *pending_gate)
+                *pending_gate, slim=True)
         self.timings["ins_gate"] = self.timings.get("ins_gate", 0) \
             + _time.perf_counter() - _t0
         _ti = _time.perf_counter()
